@@ -1,0 +1,183 @@
+"""Core pytree containers: State, Shapes, NeighborState, SimParams.
+
+This is the TPU-native collapse of the reference's Atom/AtomVec layer
+(SURVEY.md section 2 B.2: per-atom arrays x, v, f, omega/angmom, quat,
+shtype -> coefficient table) into struct-of-arrays pytrees
+(BASELINE.json:5 "pure-functional state API (positions, quaternions, SH
+coefficient tables)").
+
+Fixed capacity everywhere: ``State`` holds ``cap`` particle slots with an
+``active`` mask (the TPU answer to LAMMPS's dynamic per-atom arrays), and
+``NeighborState`` holds a fixed-K neighbor tensor with validity mask.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class State:
+    """Dynamic per-particle state + box. One pytree = one checkpoint."""
+
+    x: jax.Array        # [cap, 3] positions (world)
+    v: jax.Array        # [cap, 3] velocities
+    q: jax.Array        # [cap, 4] orientation quaternions (scalar first)
+    angmom: jax.Array   # [cap, 3] angular momentum (world frame)
+    f: jax.Array        # [cap, 3] force accumulator
+    tau: jax.Array      # [cap, 3] torque accumulator
+    scale: jax.Array    # [cap]    per-particle size factor (polydispersity)
+    shtype: jax.Array   # [cap]    int32 shape-type index into Shapes tables
+    active: jax.Array   # [cap]    bool slot validity
+    image: jax.Array    # [cap, 3] int32 PBC image counters
+    box_lo: jax.Array   # [3]
+    box_hi: jax.Array   # [3]
+    step: jax.Array     # int32 scalar timestep counter
+
+    @property
+    def cap(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_active(self):
+        return jnp.sum(self.active.astype(jnp.int32))
+
+
+@struct.dataclass
+class Shapes:
+    """Static per-shape-type data, precomputed at setup (SURVEY.md 7.2 s2).
+
+    The per-type SH coefficient tables plus everything derived from them:
+    quadrature-node radii/normals in the body frame, radius interpolation
+    tables, bounding radii, volume and principal inertia at unit scale.
+    ``lmax`` is static metadata (drives unrolled recurrences).
+    """
+
+    lmax: int = struct.field(pytree_node=False)
+    coeffs: jax.Array        # [T, (lmax+1)^2] real SH coefficients
+    quad_theta: jax.Array    # [G]
+    quad_phi: jax.Array      # [G]
+    quad_w: jax.Array        # [G] solid-angle weights (sum 4 pi)
+    quad_dirs: jax.Array     # [G, 3] unit directions (body frame)
+    node_r: jax.Array        # [T, G] body-frame radius at each node
+    node_normals: jax.Array  # [T, G, 3] body-frame outward unit normals
+    node_area: jax.Array     # [T, G] area element w * r^2 / (n . rhat)
+    table: jax.Array         # [T, 3, nt, np] (r, dr/dt, dr/dp) interp tables
+    rmax: jax.Array          # [T] bounding-sphere radius (unit scale)
+    rchar: jax.Array         # [T] mean radius a_00/sqrt(4pi) (Hertz R_eff)
+    vol: jax.Array           # [T] volume (unit scale, unit density)
+    inertia: jax.Array       # [T, 3] principal inertia (unit scale/density)
+    density: jax.Array       # [T] mass density
+
+    @property
+    def n_types(self) -> int:
+        return self.coeffs.shape[0]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.quad_theta.shape[0]
+
+    def mass_of(self, shtype, scale):
+        return self.density[shtype] * self.vol[shtype] * scale**3
+
+    def inertia_of(self, shtype, scale):
+        return (
+            self.density[shtype, None]
+            * self.inertia[shtype]
+            * (scale**5)[..., None]
+        )
+
+
+@struct.dataclass
+class NeighborState:
+    """Fixed-capacity Verlet neighbor tensor + contact history.
+
+    TPU-native replacement for the reference's NeighList pages + granular
+    contact-history fix (SURVEY.md section 2 B.3). ``idx`` is a FULL list:
+    pair (i, j) appears in both rows, so force accumulation is a pure
+    per-row reduction with no scatter (Newton handled by antisymmetry).
+    """
+
+    idx: jax.Array      # [cap, K] int32 neighbor slot indices (0 if invalid)
+    mask: jax.Array     # [cap, K] bool validity
+    hist: jax.Array     # [cap, K, 3] tangential-spring displacement (world)
+    wall_hist: jax.Array  # [cap, W, 3] per-wall tangential springs
+    x_build: jax.Array  # [cap, 3] positions at build time (skin trigger)
+    overflow: jax.Array # int32: max candidate count seen (> K means trouble)
+
+    @property
+    def k_max(self) -> int:
+        return self.idx.shape[1]
+
+
+@struct.dataclass
+class SimParams:
+    """Physics + integration parameters (all traced leaves: no recompiles).
+
+    Contact law follows LAMMPS pair_style gran/hertz/history
+    (SURVEY.md 2 B.4): with overlap delta, effective radius R_eff and
+    effective mass m_eff,
+
+      poly = sqrt(delta * R_eff)
+      F_n  = poly * (kn * delta - m_eff * gamma_n * v_n)
+      F_t  = -poly * (kt * xi + m_eff * gamma_t * v_t),  |F_t| <= mu |F_n|
+    """
+
+    dt: jax.Array
+    kn: jax.Array
+    kt: jax.Array
+    gamma_n: jax.Array
+    gamma_t: jax.Array
+    mu: jax.Array
+    gravity: jax.Array       # [3]
+    skin: jax.Array          # Verlet skin distance
+    cutoff: jax.Array        # neighbor cutoff = 2*max(rmax*scale) (+ margin)
+
+    @classmethod
+    def create(cls, dt, kn, kt=None, gamma_n=0.0, gamma_t=None, mu=0.5,
+               gravity=(0.0, 0.0, 0.0), skin=0.0, cutoff=1.0, dtype=jnp.float32):
+        if kt is None:
+            kt = 2.0 / 7.0 * kn
+        if gamma_t is None:
+            gamma_t = 0.5 * gamma_n
+        f = lambda x: jnp.asarray(x, dtype=dtype)
+        return cls(
+            dt=f(dt), kn=f(kn), kt=f(kt), gamma_n=f(gamma_n),
+            gamma_t=f(gamma_t), mu=f(mu), gravity=f(jnp.asarray(gravity)),
+            skin=f(skin), cutoff=f(cutoff),
+        )
+
+
+def zeros_state(cap: int, box_lo, box_hi, dtype=jnp.float32) -> State:
+    """An empty fixed-capacity State (all slots inactive)."""
+    q0 = jnp.zeros((cap, 4), dtype)
+    q0 = q0.at[:, 0].set(1.0)
+    return State(
+        x=jnp.zeros((cap, 3), dtype),
+        v=jnp.zeros((cap, 3), dtype),
+        q=q0,
+        angmom=jnp.zeros((cap, 3), dtype),
+        f=jnp.zeros((cap, 3), dtype),
+        tau=jnp.zeros((cap, 3), dtype),
+        scale=jnp.ones((cap,), dtype),
+        shtype=jnp.zeros((cap,), jnp.int32),
+        active=jnp.zeros((cap,), bool),
+        image=jnp.zeros((cap, 3), jnp.int32),
+        box_lo=jnp.asarray(box_lo, dtype),
+        box_hi=jnp.asarray(box_hi, dtype),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def empty_neighbors(cap: int, k_max: int, n_walls: int = 0,
+                    dtype=jnp.float32) -> NeighborState:
+    return NeighborState(
+        idx=jnp.zeros((cap, k_max), jnp.int32),
+        mask=jnp.zeros((cap, k_max), bool),
+        hist=jnp.zeros((cap, k_max, 3), dtype),
+        wall_hist=jnp.zeros((cap, max(n_walls, 1), 3), dtype),
+        x_build=jnp.zeros((cap, 3), dtype),
+        overflow=jnp.asarray(0, jnp.int32),
+    )

@@ -1,0 +1,285 @@
+"""SH contact narrow phase + Hertz/friction force law — THE hot path.
+
+TPU-native re-design of the reference's SH contact pair style
+(SURVEY.md section 2 B.4 / 3.3; capability contract BASELINE.json:5:
+"pairwise contact hot path (associated-Legendre/Ylm recurrences, radius
+evaluation on Gauss-Legendre quadrature grids, overlap-volume and
+contact-normal surface integrals), Hertz/friction force and torque
+accumulation"). Instead of a per-pair C++ double loop, everything is a
+batched tensor program over ``[P, G]`` (pairs x quadrature nodes).
+
+Method (both-sides symmetric, Newton's third law exact by construction):
+
+  for each candidate pair (i, j), for each GL surface node k of i:
+    p_k   = x_i + R(q_i) (s_i r_ik n_hat_k)          # world node position
+    u_k   = R(q_j)^T (p_k - x_j);  rho_k = |u_k|     # into j's body frame
+    r_jk  = s_j * r_j(theta'_k, phi'_k)              # radius of j there
+    inside_k = rho_k < r_jk;   depth_k = r_jk - rho_k
+  (and the mirrored pass with i/j swapped)
+
+  A  = sum inside * dA          (contact patch area, both sides averaged)
+  V  = sum inside * dA * depth  (overlap volume, radial-column measure)
+  c  = area-weighted centroid of inside nodes (both sides)
+  n  = normalized area-weighted mean of the *other* particle's outward
+       surface normal (points from j toward i)
+  delta = 2 V / A               # smooth overlap depth; exact for the
+                                # sphere-sphere lens: V ~ pi R_eff d^2,
+                                # A ~ 2 pi R_eff d  =>  2V/A = d
+
+  Hertz + history friction (LAMMPS gran/hertz/history law):
+    poly = sqrt(delta * R_eff)
+    F_n  = poly * (kn * delta) * n  -  poly * m_eff * gamma_n * v_n
+    xi  += v_t * dt  (projected tangent);  F_t = -poly*(kt*xi + m_eff*gamma_t*v_t)
+    |F_t| <= mu |F_n|  (Coulomb cap, spring rescaled on saturation)
+    tau_i += (c - x_i) x F;  equal/opposite on j via the full neighbor list.
+
+The smooth 2V/A overlap (instead of max node depth) is the key TPU-side
+numerical choice: it turns the non-smooth discrete-node max into a
+quadrature integral, suppressing node-discretization force noise as
+particles rotate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from spherharm_tpu.ops import rotation, sh_math
+from spherharm_tpu.ops.rotation import (
+    angles_from_unit,
+    quat_rotate,
+    quat_rotate_inv,
+)
+
+
+def minimum_image(d, box_lo, box_hi, periodic):
+    """Minimum-image displacement for periodic dims (static flags)."""
+    L = box_hi - box_lo
+    shift = jnp.round(d / L) * L
+    pmask = jnp.asarray(periodic, dtype=d.dtype)
+    return d - shift * pmask
+
+
+def surface_probe(xi, qi, si, type_i, xj, qj, sj, type_j, d, shapes,
+                  exact: bool):
+    """One-sided probe: i's surface nodes tested against j's surface.
+
+    All args are per-pair (leading dim P). ``d`` is the minimum-image
+    x_j - x_i. Returns per-pair integrals:
+      area [P], vol [P], centroid_num [P,3] (area-weighted, relative to
+      x_i), normal_num [P,3] (area-weighted outward normals of j, world),
+      max_depth [P].
+    """
+    G = shapes.n_nodes
+    # Body-frame node positions of i, scaled: [P, G, 3].
+    nodes_body = (
+        shapes.node_r[type_i][..., None] * shapes.quad_dirs[None, :, :]
+    ) * si[..., None, None]
+    # World positions relative to x_i.
+    rel_i = quat_rotate(qi[..., None, :], nodes_body)
+    # Into j's body frame: u = R(qj)^T (p - x_j); p - x_j = rel_i - d.
+    u = quat_rotate_inv(qj[..., None, :], rel_i - d[..., None, :])
+    rho = jnp.linalg.norm(u, axis=-1)
+    u_hat = u / jnp.maximum(rho, 1e-12)[..., None]
+    theta, phi = angles_from_unit(u_hat)
+
+    if exact:
+        Y, dYt, dYp = sh_math.real_sh_basis_grad(theta, phi, shapes.lmax)
+        cj = shapes.coeffs[type_j]  # [P, NC]
+        r_j = jnp.einsum("pgc,pc->pg", Y, cj)
+        drt = jnp.einsum("pgc,pc->pg", dYt, cj)
+        drp = jnp.einsum("pgc,pc->pg", dYp, cj)
+    else:
+        tables = shapes.table[type_j]  # [P, 3, nt, np]
+        r_j, drt, drp = jax.vmap(sh_math.interp_radius)(tables, theta, phi)
+
+    r_j = r_j * sj[..., None]
+    drt = drt * sj[..., None]
+    drp = drp * sj[..., None]
+
+    inside = rho < r_j
+    depth = jnp.where(inside, r_j - rho, 0.0)
+
+    # Area element of i's surface at each node (scaled by s_i^2).
+    dA = shapes.node_area[type_i] * (si**2)[..., None]
+    w = jnp.where(inside, dA, 0.0)
+
+    area = jnp.sum(w, axis=-1)
+    vol = jnp.sum(w * depth, axis=-1)
+    centroid_num = jnp.sum(w[..., None] * rel_i, axis=-2)  # relative to x_i
+
+    # Outward normal of j at the probe direction, in j's body frame -> world.
+    n_body = sh_math.surface_normal(r_j, drt, drp, theta, phi)
+    n_world = quat_rotate(qj[..., None, :], n_body)
+    normal_num = jnp.sum(w[..., None] * n_world, axis=-2)
+
+    return area, vol, centroid_num, normal_num, jnp.max(depth, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("exact", "periodic"))
+def pair_contact(
+    x_i, v_i, q_i, om_i, s_i, t_i, m_i,
+    x_j, v_j, q_j, om_j, s_j, t_j, m_j,
+    hist, pair_mask, box_lo, box_hi, shapes, params,
+    exact: bool = False, periodic=(False, False, False),
+):
+    """Full contact law for a batch of P candidate pairs.
+
+    Returns (force_on_i [P,3], torque_on_i [P,3], new_hist [P,3],
+    pe [P], in_contact [P], rij [P,3]).
+    """
+    d = minimum_image(x_j - x_i, box_lo, box_hi, periodic)
+    dist = jnp.linalg.norm(d, axis=-1)
+    rsum = shapes.rmax[t_i] * s_i + shapes.rmax[t_j] * s_j
+    cull = pair_mask & (dist < rsum) & (dist > 1e-12)
+
+    # Both-sided probes (i's nodes in j, j's nodes in i).
+    a1, v1, c1, n1, dep1 = surface_probe(
+        x_i, q_i, s_i, t_i, x_j, q_j, s_j, t_j, d, shapes, exact
+    )
+    a2, v2, c2, n2, dep2 = surface_probe(
+        x_j, q_j, s_j, t_j, x_i, q_i, s_i, t_i, -d, shapes, exact
+    )
+    # c2/n2 are relative to x_j and give i's outward normals; fold back.
+    area = 0.5 * (a1 + a2)
+    vol = 0.5 * (v1 + v2)
+    w1 = a1[..., None]
+    w2 = a2[..., None]
+    # centroid relative to x_i: c1 is; (c2 + d) maps j-relative to i-relative.
+    centroid = jnp.where(
+        (a1 + a2 > 0)[..., None],
+        (c1 + c2 + w2 * d) / jnp.maximum(a1 + a2, 1e-12)[..., None],
+        0.5 * d,
+    )
+    # Normal pointing from j toward i: j's outward normals (n1) minus i's (n2).
+    n_raw = n1 - n2
+    n_norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
+    d_hat = d / jnp.maximum(dist, 1e-12)[..., None]
+    n_hat = jnp.where(n_norm > 1e-10, n_raw / jnp.maximum(n_norm, 1e-12), -d_hat)
+
+    in_contact = cull & (area > 0)
+    delta = jnp.where(in_contact, 2.0 * vol / jnp.maximum(area, 1e-12), 0.0)
+
+    r_eff = (
+        shapes.rchar[t_i] * s_i * shapes.rchar[t_j] * s_j
+        / jnp.maximum(shapes.rchar[t_i] * s_i + shapes.rchar[t_j] * s_j, 1e-12)
+    )
+    m_eff = m_i * m_j / jnp.maximum(m_i + m_j, 1e-30)
+    poly = jnp.sqrt(jnp.maximum(delta * r_eff, 0.0))
+
+    # Relative velocity of i w.r.t. j at the contact point.
+    arm_i = centroid
+    arm_j = centroid - d
+    v_rel = (
+        v_i + jnp.cross(om_i, arm_i) - v_j - jnp.cross(om_j, arm_j)
+    )
+    vn_mag = jnp.sum(v_rel * n_hat, axis=-1)
+    vn = vn_mag[..., None] * n_hat
+    vt = v_rel - vn
+
+    fn_mag = poly * (
+        params.kn * delta - m_eff * params.gamma_n * vn_mag
+    )
+    fn_mag = jnp.maximum(fn_mag, 0.0)  # contact cannot pull
+    f_n = fn_mag[..., None] * n_hat
+
+    # Tangential history spring (world frame), projected tangent each step.
+    xi = hist
+    xi = xi - jnp.sum(xi * n_hat, axis=-1, keepdims=True) * n_hat
+    xi = jnp.where(in_contact[..., None], xi + vt * params.dt, 0.0)
+    f_t = -(poly[..., None]) * (params.kt * xi + m_eff[..., None] * params.gamma_t * vt)
+    ft_mag = jnp.linalg.norm(f_t, axis=-1)
+    cap = params.mu * fn_mag
+    over = ft_mag > jnp.maximum(cap, 1e-30)
+    scale_ft = jnp.where(over, cap / jnp.maximum(ft_mag, 1e-30), 1.0)
+    f_t = f_t * scale_ft[..., None]
+    # Rescale the stored spring consistently on saturation (LAMMPS-style).
+    xi = jnp.where(
+        (over & (poly > 0))[..., None],
+        -(f_t / jnp.maximum(poly, 1e-30)[..., None]
+          + m_eff[..., None] * params.gamma_t * vt) / params.kt,
+        xi,
+    )
+
+    force = jnp.where(in_contact[..., None], f_n + f_t, 0.0)
+    torque = jnp.cross(arm_i, force)
+    # Elastic PE of the Hertzian spring: integral kn*sqrt(R)*d^{3/2} dd.
+    pe = jnp.where(
+        in_contact,
+        0.4 * params.kn * jnp.sqrt(r_eff) * delta**2.5,
+        0.0,
+    )
+    return force, torque, xi, pe, in_contact, d
+
+
+def gather_particle(state, shapes, idx):
+    """Gather per-particle fields at indices idx (any shape)."""
+    om = rotation.omega_from_angmom(
+        state.q[idx], state.angmom[idx],
+        shapes.inertia_of(state.shtype[idx], state.scale[idx]),
+    )
+    m = shapes.mass_of(state.shtype[idx], state.scale[idx])
+    return (
+        state.x[idx], state.v[idx], state.q[idx], om,
+        state.scale[idx], state.shtype[idx], m,
+    )
+
+
+@partial(jax.jit, static_argnames=("exact", "periodic", "chunk"))
+def contact_force_dense(state, shapes, params, neigh,
+                        exact: bool = False,
+                        periodic=(False, False, False),
+                        chunk: int = 0):
+    """Force/torque over the dense [N, K] neighbor tensor.
+
+    Returns (f [N,3], tau [N,3], new_hist [N,K,3], pe_total, virial [3,3]).
+    Full-list semantics: each contact contributes to its row only; pe and
+    virial are halved to undo double counting.
+
+    ``chunk``: if > 0, process rows in blocks of this size with lax.map to
+    bound [N*K, G] intermediates (VMEM/HBM working-set control).
+    """
+    N, K = neigh.idx.shape
+    i_idx = jnp.broadcast_to(jnp.arange(N)[:, None], (N, K))
+
+    def run(block):
+        ii, jj, msk, hist = block
+        gi = gather_particle(state, shapes, ii)
+        gj = gather_particle(state, shapes, jj)
+        msk = msk & state.active[ii] & state.active[jj]
+        return pair_contact(
+            gi[0], gi[1], gi[2], gi[3], gi[4], gi[5], gi[6],
+            gj[0], gj[1], gj[2], gj[3], gj[4], gj[5], gj[6],
+            hist, msk, state.box_lo, state.box_hi, shapes, params,
+            exact=exact, periodic=periodic,
+        )
+
+    blocks = (i_idx.reshape(-1), neigh.idx.reshape(-1),
+              neigh.mask.reshape(-1), neigh.hist.reshape(-1, 3))
+    if chunk and N * K > chunk:
+        n_chunks = -(-N * K // chunk)
+        pad = n_chunks * chunk - N * K
+        blocks = jax.tree.map(
+            lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)),
+            blocks,
+        )
+        blocks = jax.tree.map(
+            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), blocks
+        )
+        force, torque, hist_new, pe, inc, d = jax.lax.map(run, blocks)
+        unpad = lambda a: a.reshape((n_chunks * chunk,) + a.shape[2:])[: N * K]
+        force, torque, hist_new, pe, inc, d = (
+            unpad(force), unpad(torque), unpad(hist_new), unpad(pe),
+            unpad(inc), unpad(d),
+        )
+    else:
+        force, torque, hist_new, pe, inc, d = run(blocks)
+
+    f = jnp.sum(force.reshape(N, K, 3), axis=1)
+    tau = jnp.sum(torque.reshape(N, K, 3), axis=1)
+    pe_total = 0.5 * jnp.sum(pe)
+    # Virial: W_ab = -1/2 sum_pairs d_a F_b (d = x_j - x_i, F on i).
+    virial = -0.5 * jnp.einsum("pa,pb->ab", d, force)
+    return f, tau, hist_new.reshape(N, K, 3), pe_total, virial

@@ -1,0 +1,84 @@
+"""Quaternion rigid-body velocity-Verlet integration.
+
+TPU-native equivalent of the reference's SH NVE integrator
+(SURVEY.md section 2 B.5, expected ``src/SPHERHARM/fix_nve_sh.cpp``;
+contract BASELINE.json:5 "quaternion rigid-body velocity-Verlet
+integration"). The scheme mirrors upstream LAMMPS ``fix nve/asphere``:
+
+  initial_integrate (half kick + drift):
+    v      += dt/2 * f / m
+    x      += dt * v
+    L      += dt/2 * tau            (world-frame angular momentum)
+    q      <- richardson(q, L, I_body, dt)   (2nd-order quaternion update)
+  final_integrate (second half kick, after new forces):
+    v      += dt/2 * f / m
+    L      += dt/2 * tau
+
+Richardson extrapolation: combine one full-dt and two half-dt quaternion
+Euler updates, q <- normalize(2*q_half - q_full), re-deriving omega from
+the (constant over the half step) angular momentum at the midpoint —
+the standard LAMMPS scheme for torque-accurate rigid-body rotation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from spherharm_tpu.ops.rotation import (
+    omega_from_angmom,
+    quat_derivative,
+    quat_normalize,
+)
+
+
+def _euler_quat(q, angmom, inertia_body, dt):
+    omega = omega_from_angmom(q, angmom, inertia_body)
+    return quat_normalize(q + dt * quat_derivative(q, omega))
+
+
+def richardson_quat_update(q, angmom, inertia_body, dt):
+    """Second-order quaternion rotation update at fixed angular momentum."""
+    q_full = _euler_quat(q, angmom, inertia_body, dt)
+    q_half = _euler_quat(q, angmom, inertia_body, 0.5 * dt)
+    q_half = _euler_quat(q_half, angmom, inertia_body, 0.5 * dt)
+    return quat_normalize(2.0 * q_half - q_full)
+
+
+def initial_integrate(state, shapes, params):
+    """Half-kick velocities/angmom, drift positions, rotate quaternions."""
+    m = shapes.mass_of(state.shtype, state.scale)[:, None]
+    inertia = shapes.inertia_of(state.shtype, state.scale)
+    act = state.active[:, None]
+    dt = params.dt
+    v = jnp.where(act, state.v + 0.5 * dt * state.f / m, state.v)
+    x = jnp.where(act, state.x + dt * v, state.x)
+    angmom = jnp.where(act, state.angmom + 0.5 * dt * state.tau, state.angmom)
+    q = jnp.where(
+        act, richardson_quat_update(state.q, angmom, inertia, dt), state.q
+    )
+    return state.replace(x=x, v=v, q=q, angmom=angmom,
+                         step=state.step + 1)
+
+
+def final_integrate(state, shapes, params):
+    """Second half-kick from freshly computed forces/torques."""
+    m = shapes.mass_of(state.shtype, state.scale)[:, None]
+    act = state.active[:, None]
+    dt = params.dt
+    v = jnp.where(act, state.v + 0.5 * dt * state.f / m, state.v)
+    angmom = jnp.where(act, state.angmom + 0.5 * dt * state.tau, state.angmom)
+    return state.replace(v=v, angmom=angmom)
+
+
+def kinetic_energy(state, shapes):
+    """Translational + rotational KE (masked)."""
+    m = shapes.mass_of(state.shtype, state.scale)
+    inertia = shapes.inertia_of(state.shtype, state.scale)
+    ke_t = 0.5 * jnp.sum(
+        jnp.where(state.active, m * jnp.sum(state.v**2, axis=-1), 0.0)
+    )
+    omega = omega_from_angmom(state.q, state.angmom, inertia)
+    ke_r = 0.5 * jnp.sum(
+        jnp.where(state.active, jnp.sum(omega * state.angmom, axis=-1), 0.0)
+    )
+    return ke_t, ke_r

@@ -1,0 +1,208 @@
+"""Cell-list / Verlet neighbor build over fixed-capacity tensors.
+
+TPU-native replacement for the reference's Neighbor/NBin/NStencil/NPair
+stack (SURVEY.md section 2 B.3; contract BASELINE.json:5 "the
+cell-list/Verlet neighbor build ... batched ... over fixed-capacity
+neighbor tensors"). LAMMPS's paged variable-length lists become a dense
+``[N, K]`` index tensor + mask built with sort/scatter/top_k — static
+shapes end to end, so the whole build lives inside jit (and inside
+``lax.cond`` for displacement-triggered rebuilds).
+
+Full-list semantics: pair (i, j) appears in both row i and row j; force
+accumulation is then a pure per-row reduction (no scatter, Newton's third
+law by antisymmetry of the pair kernel) — the TPU answer to LAMMPS's
+newton-on reverse communication.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from spherharm_tpu.core.state import NeighborState
+from spherharm_tpu.ops.contact import minimum_image
+
+
+@partial(jax.jit, static_argnames=("k_max",))
+def allpairs_neighbors(x, active, box_lo, box_hi, cutoff, k_max: int,
+                       periodic=(False, False, False)):
+    """O(N^2) neighbor build — oracle + small-system path.
+
+    Returns (idx [N,K], mask [N,K], count [N]).
+    """
+    N = x.shape[0]
+    d = minimum_image(x[None, :, :] - x[:, None, :], box_lo, box_hi, periodic)
+    dist2 = jnp.sum(d * d, axis=-1)
+    eye = jnp.eye(N, dtype=bool)
+    valid = (dist2 < cutoff**2) & ~eye & active[None, :] & active[:, None]
+    count = jnp.sum(valid, axis=1)
+    k_max = min(k_max, N)
+    score = jnp.where(valid, 1.0, 0.0)
+    _, idx = jax.lax.top_k(score, k_max)
+    mask = jnp.take_along_axis(valid, idx, axis=1)
+    return idx.astype(jnp.int32), mask, count
+
+
+class CellGrid:
+    """Static binning geometry: grid dims chosen once at setup.
+
+    Cell size must stay >= cutoff+skin for the 27-stencil to be complete;
+    pick dims from the *largest* box the run will see (boxes may shrink
+    under deformation — then rebuild the Simulation with new dims).
+    """
+
+    def __init__(self, box_lo, box_hi, cutoff: float,
+                 periodic=(False, False, False)):
+        import numpy as np
+
+        lo = np.asarray(box_lo, dtype=np.float64)
+        hi = np.asarray(box_hi, dtype=np.float64)
+        dims = np.maximum(np.floor((hi - lo) / cutoff).astype(int), 1)
+        self.dims = tuple(int(v) for v in dims)
+        self.n_cells = int(np.prod(dims))
+        self.periodic = tuple(bool(p) for p in periodic)
+
+    def __repr__(self):
+        return f"CellGrid(dims={self.dims}, periodic={self.periodic})"
+
+
+# 27-stencil offsets as a static [27, 3] table.
+def _stencil_offsets():
+    import numpy as np
+
+    off = np.array(
+        [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+        dtype=np.int32,
+    )
+    return jnp.asarray(off)
+
+
+@partial(jax.jit, static_argnames=("grid_dims", "cell_cap", "k_max", "periodic"))
+def cell_list_neighbors(
+    x, active, box_lo, box_hi, cutoff,
+    grid_dims: tuple, cell_cap: int, k_max: int,
+    periodic=(False, False, False),
+):
+    """Cell-binned neighbor build. Returns (idx, mask, count, cell_overflow).
+
+    x must already be wrapped into the box for periodic dims.
+      1. bin:      cell coords via floor((x-lo)/cell), linear cell id
+      2. rank:     sort by cell id; rank-in-cell = position - cell start
+      3. table:    scatter ids into [n_cells * cell_cap] slots
+      4. stencil:  gather 27 neighboring cells -> [N, 27*cell_cap] candidates
+      5. filter:   min-image distance < cutoff, self/inactive excluded
+      6. compact:  stable top_k on validity -> [N, k_max]
+    """
+    N = x.shape[0]
+    D = jnp.asarray(grid_dims, jnp.int32)
+    n_cells = int(grid_dims[0] * grid_dims[1] * grid_dims[2])
+    L = box_hi - box_lo
+    cell_sz = L / jnp.asarray(grid_dims, x.dtype)
+
+    cc = jnp.floor((x - box_lo) / cell_sz).astype(jnp.int32)
+    cc = jnp.clip(cc, 0, D - 1)
+    cid = (cc[:, 0] * D[1] + cc[:, 1]) * D[2] + cc[:, 2]
+    cid = jnp.where(active, cid, n_cells)  # inactive -> overflow bin
+
+    # Rank within cell via sort.
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    starts = jnp.searchsorted(cid_sorted, cid_sorted, side="left")
+    rank_sorted = jnp.arange(N, dtype=jnp.int32) - starts.astype(jnp.int32)
+    rank = jnp.zeros(N, jnp.int32).at[order].set(rank_sorted)
+
+    # Scatter into the cell table (drop overflowing ranks / inactive bin).
+    flat = jnp.where(
+        (rank < cell_cap) & (cid < n_cells), cid * cell_cap + rank, n_cells * cell_cap
+    )
+    table = jnp.full((n_cells * cell_cap + 1,), -1, jnp.int32)
+    table = table.at[flat].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+    table = table[:-1].reshape(n_cells, cell_cap)
+
+    per_cell_count = jnp.zeros((n_cells + 1,), jnp.int32).at[
+        jnp.minimum(cid, n_cells)
+    ].add(1)[:n_cells]
+    cell_overflow = jnp.max(per_cell_count)
+
+    # Stencil gather: neighbor cell coords with wrap/clamp per dim.
+    off = _stencil_offsets()  # [27,3]
+    ncc = cc[:, None, :] + off[None, :, :]  # [N,27,3]
+    pmask = jnp.asarray(periodic)
+    wrapped = jnp.mod(ncc, D)
+    oob = (ncc < 0) | (ncc >= D)
+    ncc_ok = jnp.where(pmask[None, None, :], wrapped, jnp.clip(ncc, 0, D - 1))
+    invalid_cell = jnp.any(oob & ~pmask[None, None, :], axis=-1)  # [N,27]
+    ncid = (ncc_ok[..., 0] * D[1] + ncc_ok[..., 1]) * D[2] + ncc_ok[..., 2]
+    ncid = jnp.where(invalid_cell, n_cells - 1, ncid)  # any cell; masked below
+
+    cand = table[ncid]  # [N, 27, cell_cap]
+    cand = jnp.where(invalid_cell[..., None], -1, cand)
+    cand = cand.reshape(N, 27 * cell_cap)
+
+    safe = jnp.maximum(cand, 0)
+    d = minimum_image(x[safe] - x[:, None, :], box_lo, box_hi, periodic)
+    dist2 = jnp.sum(d * d, axis=-1)
+    valid = (
+        (cand >= 0)
+        & (cand != jnp.arange(N)[:, None])
+        & (dist2 < cutoff**2)
+        & active[safe]
+        & active[:, None]
+    )
+    count = jnp.sum(valid, axis=1)
+
+    score = jnp.where(valid, 1.0, 0.0)
+    _, sel = jax.lax.top_k(score, k_max)  # stable: lowest index first
+    idx = jnp.take_along_axis(safe, sel, axis=1)
+    mask = jnp.take_along_axis(valid, sel, axis=1)
+    return idx.astype(jnp.int32), mask, count, cell_overflow
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def remap_history(new_idx, new_mask, old_idx, old_mask, old_hist,
+                  chunk: int = 4096):
+    """Carry tangential-spring state across a neighbor rebuild.
+
+    For each row, match new neighbor ids against old ids (masked equality
+    join) and gather the old spring; unmatched (fresh) contacts start at
+    zero. The [N, K_new, K_old] match tensor is materialized per chunk to
+    bound memory (SURVEY.md 7.3 "history remap ... fiddly masked code").
+    """
+    N, K = new_idx.shape
+
+    def body(args):
+        ni, nm, oi, om, oh = args
+        m = (ni[:, :, None] == oi[:, None, :]) & om[:, None, :] & nm[:, :, None]
+        return jnp.einsum("nkl,nlc->nkc", m.astype(oh.dtype), oh)
+
+    if N > chunk:
+        n_chunks = -(-N // chunk)
+        pad = n_chunks * chunk - N
+        args = (new_idx, new_mask, old_idx, old_mask, old_hist)
+        args = jax.tree.map(
+            lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)), args
+        )
+        args = jax.tree.map(
+            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), args
+        )
+        out = jax.lax.map(body, args)
+        return out.reshape((n_chunks * chunk,) + out.shape[2:])[:N]
+    return body((new_idx, new_mask, old_idx, old_mask, old_hist))
+
+
+def wrap_positions(x, image, box_lo, box_hi, periodic):
+    """Wrap x into the box for periodic dims, tracking image counters."""
+    L = box_hi - box_lo
+    shifts = jnp.floor((x - box_lo) / L)
+    pmask = jnp.asarray(periodic, dtype=x.dtype)
+    shifts = shifts * pmask
+    return x - shifts * L, image + shifts.astype(jnp.int32)
+
+
+def max_displacement2(x, x_build, active, box_lo, box_hi, periodic):
+    """Max squared displacement since the last build (skin trigger)."""
+    d = minimum_image(x - x_build, box_lo, box_hi, periodic)
+    d2 = jnp.sum(d * d, axis=-1)
+    return jnp.max(jnp.where(active, d2, 0.0))

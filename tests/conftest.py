@@ -1,0 +1,20 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+Multi-chip sharding logic is tested on a virtual 8-device CPU mesh
+(SURVEY.md section 4.2: the TPU equivalent of LAMMPS's
+``mpirun -np N`` on localhost). Must run before any jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# x64 available for float64 oracles; engine code pins f32 explicitly.
+jax.config.update("jax_enable_x64", True)
