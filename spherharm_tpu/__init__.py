@@ -17,4 +17,21 @@ parallelism is slab domain decomposition expressed with ``shard_map`` +
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: step graphs are large (unrolled SH
+# recurrences + scanned integrator); caching makes reruns of benchmarks
+# and tests start in seconds instead of minutes. Opt out with
+# SPHERHARM_JAX_CACHE=0.
+if _os.environ.get("SPHERHARM_JAX_CACHE", "1") != "0":
+    _cache = _os.environ.get(
+        "SPHERHARM_JAX_CACHE_DIR",
+        _os.path.expanduser("~/.cache/spherharm_jax"),
+    )
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from spherharm_tpu.core.state import State, Shapes, NeighborState, SimParams  # noqa: F401
+from spherharm_tpu.core.simulation import Simulation  # noqa: F401

@@ -1,0 +1,246 @@
+"""The timestep driver: LAMMPS's Verlet::run as one jitted lax.scan.
+
+TPU-native collapse of the reference's Update/Integrate/Modify/Neighbor
+orchestration (SURVEY.md section 3.2). Per step:
+
+  initial_integrate   (half kick + drift + quaternion Richardson update)
+  maybe-rebuild       (lax.cond on the skin-displacement trigger: wrap
+                       PBC, re-bin cells, rebuild [N,K] list, remap
+                       contact history — all inside jit, static shapes)
+  force eval          (SH pair contact + walls + gravity)
+  final_integrate     (second half kick)
+
+The whole step is one pure function ``(state, neigh) -> (state, neigh)``;
+``run`` scans it. No data-dependent Python control flow (everything is
+lax.cond / masked tensor ops), so XLA compiles the full loop once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from spherharm_tpu.core.state import (
+    NeighborState,
+    SimParams,
+    Shapes,
+    State,
+    empty_neighbors,
+)
+from spherharm_tpu.ops import contact, integrate, neighbor, walls as walls_mod
+
+
+class Simulation:
+    """Binds static configuration (topology, capacities, wall kinds).
+
+    Everything dynamic rides in (State, NeighborState, SimParams, Shapes)
+    pytrees; a Simulation instance is hashable-by-identity and used as a
+    static jit argument, so its plain-Python config fixes the compiled
+    program.
+    """
+
+    def __init__(
+        self,
+        shapes: Shapes,
+        params: SimParams,
+        *,
+        periodic=(False, False, False),
+        neighbor_mode: str = "cell",  # "cell" | "allpairs" | "static"
+        k_max: int = 32,
+        cell_cap: int = 8,
+        grid: neighbor.CellGrid | None = None,
+        walls: tuple = (),
+        exact_eval: bool = False,
+        pair_chunk: int = 0,
+        pair_capacity: int = 0,
+        gravity_pe_origin=(0.0, 0.0, 0.0),
+    ):
+        self.shapes = shapes
+        self.params = params
+        self.periodic = tuple(bool(p) for p in periodic)
+        self.neighbor_mode = neighbor_mode
+        self.k_max = int(k_max)
+        self.cell_cap = int(cell_cap)
+        self.grid = grid
+        self.walls = tuple(walls)
+        self.exact_eval = bool(exact_eval)
+        self.pair_chunk = int(pair_chunk)
+        self.pair_capacity = int(pair_capacity)
+        self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
+        if neighbor_mode == "cell" and grid is None:
+            raise ValueError("neighbor_mode='cell' requires a CellGrid")
+
+    # -- neighbor handling ------------------------------------------------
+
+    def _build_list(self, state: State):
+        cutoff = self.params.cutoff + self.params.skin
+        if self.neighbor_mode in ("allpairs", "static"):
+            idx, mask, count = neighbor.allpairs_neighbors(
+                state.x, state.active, state.box_lo, state.box_hi,
+                cutoff, self.k_max, self.periodic,
+            )
+            overflow = jnp.max(count)
+            return idx, mask, overflow
+        idx, mask, count, cell_ovf = neighbor.cell_list_neighbors(
+            state.x, state.active, state.box_lo, state.box_hi, cutoff,
+            self.grid.dims, self.cell_cap, self.k_max, self.periodic,
+        )
+        return idx, mask, jnp.maximum(jnp.max(count), cell_ovf)
+
+    def _rebuild(self, state: State, neigh: NeighborState):
+        x, image = neighbor.wrap_positions(
+            state.x, state.image, state.box_lo, state.box_hi, self.periodic
+        )
+        state = state.replace(x=x, image=image)
+        idx, mask, overflow = self._build_list(state)
+        hist = neighbor.remap_history(idx, mask, neigh.idx, neigh.mask, neigh.hist)
+        neigh = neigh.replace(
+            idx=idx, mask=mask, hist=hist, x_build=state.x,
+            overflow=jnp.maximum(neigh.overflow, overflow),
+        )
+        return state, neigh
+
+    def init_neighbors(self, state: State) -> tuple[State, NeighborState]:
+        """First build (the Verlet::setup analogue)."""
+        neigh = empty_neighbors(
+            state.cap, self.k_max, len(self.walls), dtype=state.x.dtype
+        )
+        return self._rebuild(state, neigh)
+
+    def _maybe_rebuild(self, state: State, neigh: NeighborState):
+        if self.neighbor_mode == "static":
+            return state, neigh
+        disp2 = neighbor.max_displacement2(
+            state.x, neigh.x_build, state.active,
+            state.box_lo, state.box_hi, self.periodic,
+        )
+        need = disp2 > (0.5 * self.params.skin) ** 2
+        return jax.lax.cond(
+            need, lambda sn: self._rebuild(*sn), lambda sn: sn, (state, neigh)
+        )
+
+    # -- forces -----------------------------------------------------------
+
+    def compute_forces(self, state: State, neigh: NeighborState):
+        """Fill f/tau; returns (state, neigh-with-updated-history, aux)."""
+        if self.pair_capacity > 0:
+            f, tau, hist, pe_pair, virial, n_cand = (
+                contact.contact_force_compact(
+                    state, self.shapes, self.params, neigh,
+                    pair_cap=self.pair_capacity,
+                    exact=self.exact_eval, periodic=self.periodic,
+                    chunk=self.pair_chunk or 16384,
+                )
+            )
+            neigh = neigh.replace(
+                hist=hist,
+                overflow=jnp.maximum(
+                    neigh.overflow,
+                    jnp.where(n_cand > self.pair_capacity, n_cand, 0),
+                ),
+            )
+        else:
+            f, tau, hist, pe_pair, virial = contact.contact_force_dense(
+                state, self.shapes, self.params, neigh,
+                exact=self.exact_eval, periodic=self.periodic,
+                chunk=self.pair_chunk,
+            )
+            neigh = neigh.replace(hist=hist)
+
+        pe_wall = jnp.zeros((), f.dtype)
+        wall_hists = []
+        for w_i, wall in enumerate(self.walls):
+            wf, wt, whist, wpe = walls_mod.wall_contact(
+                state, self.shapes, self.params, wall, neigh.wall_hist[:, w_i]
+            )
+            f = f + wf
+            tau = tau + wt
+            pe_wall = pe_wall + jnp.sum(wpe)
+            wall_hists.append(whist)
+        if wall_hists:
+            neigh = neigh.replace(
+                wall_hist=jnp.stack(wall_hists, axis=1)
+            )
+
+        m = self.shapes.mass_of(state.shtype, state.scale)
+        f = f + jnp.where(
+            state.active[:, None], m[:, None] * self.params.gravity[None, :], 0.0
+        )
+        state = state.replace(f=f, tau=tau)
+        aux = {"pe_pair": pe_pair, "pe_wall": pe_wall, "virial": virial}
+        return state, neigh, aux
+
+    # -- stepping ---------------------------------------------------------
+
+    def step(self, state: State, neigh: NeighborState):
+        state = integrate.initial_integrate(state, self.shapes, self.params)
+        state, neigh = self._maybe_rebuild(state, neigh)
+        state, neigh, _ = self.compute_forces(state, neigh)
+        state = integrate.final_integrate(state, self.shapes, self.params)
+        return state, neigh
+
+    def run(self, state: State, neigh: NeighborState, n_steps: int):
+        """Scan ``n_steps`` integration steps (jit-compiled once)."""
+        return _run_jit(self, state, neigh, n_steps)
+
+    # -- observables --------------------------------------------------------
+
+    def thermo(self, state: State, neigh: NeighborState) -> dict:
+        """LAMMPS-thermo-style scalar table (SURVEY.md section 5.5)."""
+        return _thermo_jit(self, state, neigh)
+
+    # Identity hash: instances are static jit args.
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@partial(jax.jit, static_argnames=("sim", "n_steps"))
+def _run_jit(sim: Simulation, state: State, neigh: NeighborState, n_steps: int):
+    def body(carry, _):
+        return sim.step(*carry), None
+
+    (state, neigh), _ = jax.lax.scan(body, (state, neigh), None, length=n_steps)
+    return state, neigh
+
+
+@partial(jax.jit, static_argnames=("sim",))
+def _thermo_jit(sim: Simulation, state: State, neigh: NeighborState):
+    shapes, params = sim.shapes, sim.params
+    state, neigh, aux = sim.compute_forces(state, neigh)
+    ke_t, ke_r = integrate.kinetic_energy(state, shapes)
+    m = shapes.mass_of(state.shtype, state.scale)
+    pe_grav = -jnp.sum(
+        jnp.where(
+            state.active,
+            m * jnp.sum(
+                params.gravity[None, :]
+                * (state.x - sim.gravity_pe_origin[None, :]),
+                axis=-1,
+            ),
+            0.0,
+        )
+    )
+    vol_box = jnp.prod(state.box_hi - state.box_lo)
+    kin_tensor = jnp.einsum(
+        "n,na,nb->ab",
+        jnp.where(state.active, m, 0.0), state.v, state.v,
+    )
+    stress = (kin_tensor + aux["virial"]) / vol_box
+    return {
+        "step": state.step,
+        "n": state.n_active,
+        "ke": ke_t,
+        "erot": ke_r,
+        "pe_pair": aux["pe_pair"],
+        "pe_wall": aux["pe_wall"],
+        "pe_grav": pe_grav,
+        "etot": ke_t + ke_r + aux["pe_pair"] + aux["pe_wall"] + pe_grav,
+        "press": jnp.trace(stress) / 3.0,
+        "stress": stress,
+        "neigh_overflow": neigh.overflow,
+    }

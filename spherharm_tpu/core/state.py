@@ -66,7 +66,15 @@ class Shapes:
     node_area: jax.Array     # [T, G] area element w * r^2 / (n . rhat)
     table: jax.Array         # [T, 3, nt, np] (r, dr/dt, dr/dp) interp tables
     rmax: jax.Array          # [T] bounding-sphere radius (unit scale)
+    rmin: jax.Array          # [T] inscribed-sphere radius (unit scale)
     rchar: jax.Array         # [T] mean radius a_00/sqrt(4pi) (Hertz R_eff)
+    # Patch-local contact quadrature: GL x azimuth grid over the spherical
+    # cap facing the contact (flattened [Gc]); cap_x in (0,1) maps to
+    # cos(gamma) = 1 - (1 - cos(gamma_max)) * cap_x per pair at runtime.
+    cap_x: jax.Array         # [Gc] GL nodes mapped to (0, 1)
+    cap_glw: jax.Array       # [Gc] GL weights (sum over gamma block = 1)
+    cap_cpsi: jax.Array      # [Gc] cos(psi) azimuth
+    cap_spsi: jax.Array      # [Gc] sin(psi)
     vol: jax.Array           # [T] volume (unit scale, unit density)
     inertia: jax.Array       # [T, 3] principal inertia (unit scale/density)
     density: jax.Array       # [T] mass density

@@ -3,31 +3,38 @@
 Covers the reference capability "SH coefficient tables" / per-shape
 quadrature precompute (SURVEY.md section 2 B.2 SPHERHARM atom style:
 "precomputed per-shape quadrature data: GL nodes/weights, per-node radii,
-volume, inertia"). Everything here is setup-path (host, run-once); the
-products are the dense tables the hot contact kernel consumes.
+volume, inertia"). Everything here is setup-path, run once on the HOST in
+pure numpy (sh_np twin of the traced SH evaluators) — it must not issue
+eager device ops or jit compiles; only the final ``Shapes`` pytree is
+device data.
 """
 
 from __future__ import annotations
 
 import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
+from scipy.special import roots_legendre
 
 from spherharm_tpu.core.state import Shapes
-from spherharm_tpu.ops import sh_math
-from spherharm_tpu.ops.sh_math import (
-    SphereQuadrature,
-    build_radius_table,
-    n_coeffs,
-    radius_from_basis,
-    real_sh_basis,
-    real_sh_basis_grad,
-    sh_index,
+from spherharm_tpu.ops.sh_np import (
+    SphereQuadratureNp,
+    build_radius_table_np,
+    real_sh_basis_grad_np,
+    real_sh_basis_np,
+    surface_normal_np,
 )
 
 SQRT4PI = math.sqrt(4.0 * math.pi)
+
+
+def n_coeffs(lmax: int) -> int:
+    return (lmax + 1) ** 2
+
+
+def sh_index(n: int, m: int) -> int:
+    return n * n + (m + n)
 
 
 def sphere_coeffs(radius: float, lmax: int) -> np.ndarray:
@@ -41,12 +48,13 @@ def project_radius_fn(radius_fn, lmax: int, n_quad: int = 64) -> np.ndarray:
     """Project an arbitrary radius function r(theta, phi) onto the SH basis.
 
     a_nm = integral r(theta,phi) Y_nm dOmega (orthonormal basis).
-    radius_fn: vectorized (theta[G], phi[G]) -> r[G].
+    radius_fn: vectorized (theta[G], phi[G]) -> r[G]. This is the hook for
+    loading scanned-particle surfaces (config 3, BASELINE.json:9).
     """
-    q = SphereQuadrature(n_quad, 2 * n_quad, dtype=jnp.float32)
-    Y = real_sh_basis(q.theta, q.phi, lmax)  # [G, NC]
-    r = jnp.asarray(radius_fn(q.theta, q.phi))
-    return np.asarray(jnp.sum(q.weights[:, None] * r[:, None] * Y, axis=0))
+    q = SphereQuadratureNp(n_quad, 2 * n_quad)
+    Y = real_sh_basis_np(q.theta, q.phi, lmax)  # [G, NC]
+    r = np.asarray(radius_fn(q.theta, q.phi), np.float64)
+    return np.sum(q.weights[:, None] * r[:, None] * Y, axis=0)
 
 
 def ellipsoid_coeffs(a: float, b: float, c: float, lmax: int,
@@ -59,10 +67,10 @@ def ellipsoid_coeffs(a: float, b: float, c: float, lmax: int,
     """
 
     def fn(theta, phi):
-        st2 = jnp.sin(theta) ** 2
-        return 1.0 / jnp.sqrt(
-            st2 * (jnp.cos(phi) ** 2 / a**2 + jnp.sin(phi) ** 2 / b**2)
-            + jnp.cos(theta) ** 2 / c**2
+        st2 = np.sin(theta) ** 2
+        return 1.0 / np.sqrt(
+            st2 * (np.cos(phi) ** 2 / a**2 + np.sin(phi) ** 2 / b**2)
+            + np.cos(theta) ** 2 / c**2
         )
 
     return project_radius_fn(fn, lmax, n_quad)
@@ -79,8 +87,9 @@ def blob_coeffs(lmax: int, seed: int = 0, mean_radius: float = 1.0,
     body-frame inertia tensor is diagonal — so principal axes are the
     coordinate axes and no Wigner rotation of coefficients is needed.
 
-    Amplitudes decay as n^{-spectral_decay}; total perturbation is scaled
-    so min r stays >= (1 - 2*roughness) * mean_radius (star-convex, r > 0).
+    Amplitudes decay as n^{-spectral_decay}; the total perturbation is
+    rescaled so min r stays >= (1 - 2*roughness) * mean_radius
+    (star-convex, r > 0 everywhere).
     """
     rng = np.random.default_rng(seed)
     c = np.zeros(n_coeffs(lmax))
@@ -92,9 +101,9 @@ def blob_coeffs(lmax: int, seed: int = 0, mean_radius: float = 1.0,
             amp = mean_radius * roughness / (n**spectral_decay)
             c[sh_index(n, m)] = rng.normal() * amp
     # Safety clamp: rescale perturbation if the surface dips too low.
-    q = SphereQuadrature(48, 96)
-    Y = real_sh_basis(q.theta, q.phi, lmax)
-    r = np.asarray(radius_from_basis(jnp.asarray(c, jnp.float32), Y))
+    q = SphereQuadratureNp(48, 96)
+    Y = real_sh_basis_np(q.theta, q.phi, lmax)
+    r = Y @ c
     rmin_target = (1.0 - 2.0 * roughness) * mean_radius
     pert_min = float(r.min()) - mean_radius
     if mean_radius + pert_min < rmin_target and pert_min < 0:
@@ -112,77 +121,93 @@ def build_shapes(
     setup_quad_n: int = 48,
     dtype=jnp.float32,
 ) -> Shapes:
-    """Precompute all per-type tables and pack a ``Shapes`` pytree.
+    """Precompute all per-type tables (numpy) and pack a ``Shapes`` pytree.
 
     coeffs: [T, (lmax+1)^2] array-like of real SH coefficients.
-    contact_quad: (n_theta, n_phi) of the surface node set used by the
-      contact kernel; defaults to ((lmax+1), 2*(lmax+1)) — Gauss-Legendre
-      exact for the surface itself, kept deliberately leaner than the
-      setup integrals ("high-order quadrature" configs raise it).
+    contact_quad: (n_gamma, n_psi) of BOTH the per-type full-surface node
+      set (walls) and the patch-local cap grid the pair kernel builds per
+      contact; defaults to (max(lmax+1, 6), 2*max(lmax+1, 6)) —
+      "high-order quadrature" configs raise it.
     """
-    coeffs = jnp.asarray(np.atleast_2d(np.asarray(coeffs)), dtype)
+    coeffs = np.atleast_2d(np.asarray(coeffs, np.float64))
     T = coeffs.shape[0]
-    density = jnp.broadcast_to(jnp.asarray(density, dtype), (T,))
+    density = np.broadcast_to(np.asarray(density, np.float64), (T,))
 
-    # Contact node set (rides in the hot loop).
+    # Contact node set (full-surface; used by walls + diagnostics).
     if contact_quad is None:
-        contact_quad = (max(lmax + 1, 4), 2 * max(lmax + 1, 4))
-    cq = SphereQuadrature(contact_quad[0], contact_quad[1], dtype=dtype)
-    Y, dYt, dYp = real_sh_basis_grad(cq.theta, cq.phi, lmax)
+        contact_quad = (max(lmax + 1, 6), 2 * max(lmax + 1, 6))
+    cq = SphereQuadratureNp(contact_quad[0], contact_quad[1])
+    Y, dYt, dYp = real_sh_basis_grad_np(cq.theta, cq.phi, lmax)
+    node_r = coeffs @ Y.T          # [T, G]
+    node_drt = coeffs @ dYt.T
+    node_drp = coeffs @ dYp.T
+    node_normals = surface_normal_np(
+        node_r, node_drt, node_drp, cq.theta[None, :], cq.phi[None, :]
+    )
+    cos_ang = np.clip(
+        np.sum(node_normals * cq.dirs[None], axis=-1), 0.05, 1.0
+    )
+    node_area = cq.weights[None, :] * node_r**2 / cos_ang
 
-    def per_type_nodes(c):
-        r = radius_from_basis(c, Y)
-        drt = radius_from_basis(c, dYt)
-        drp = radius_from_basis(c, dYp)
-        nrm = sh_math.surface_normal(r, drt, drp, cq.theta, cq.phi)
-        cos_ang = jnp.clip(jnp.sum(nrm * cq.dirs, axis=-1), 0.05, 1.0)
-        area = cq.weights * r**2 / cos_ang
-        return r, nrm, area
-
-    node_r, node_normals, node_area = jax.vmap(per_type_nodes)(coeffs)
+    # Patch-local cap quadrature grid (flattened n_gamma x n_psi): GL
+    # nodes in a unit variable x in (0,1); at runtime the pair kernel maps
+    # cos(gamma) = 1 - (1 - cos(gamma_max)) * x, so resolution adapts to
+    # the contact-cap size (SURVEY.md 7.3 "patch-local quadrature").
+    gl_x, gl_w = roots_legendre(contact_quad[0])
+    cap_x1 = (np.asarray(gl_x) + 1.0) / 2.0     # (0, 1)
+    cap_w1 = np.asarray(gl_w) / 2.0             # sums to 1
+    psi = (np.arange(contact_quad[1]) + 0.5) * (2.0 * np.pi / contact_quad[1])
+    cx, cp = np.meshgrid(cap_x1, psi, indexing="ij")
+    cw, _ = np.meshgrid(cap_w1, psi, indexing="ij")
+    cap_x = cx.ravel()
+    cap_glw = (cw * (2.0 * np.pi / contact_quad[1])).ravel()
+    cap_cpsi = np.cos(cp.ravel())
+    cap_spsi = np.sin(cp.ravel())
 
     # High-order setup quadrature for volume / inertia / rmax.
-    sq = SphereQuadrature(setup_quad_n, 2 * setup_quad_n, dtype=dtype)
-    Ys = real_sh_basis(sq.theta, sq.phi, lmax)
-
-    def per_type_integrals(c):
-        r = radius_from_basis(c, Ys)
-        vol = jnp.sum(sq.weights * r**3) / 3.0
-        w5 = sq.weights * r**5 / 5.0
-        nn = sq.dirs[:, :, None] * sq.dirs[:, None, :]
-        inertia_full = jnp.sum(
-            w5[:, None, None] * (jnp.eye(3, dtype=dtype) - nn), axis=0
-        )
-        rmax = jnp.max(r) * 1.01
-        return vol, inertia_full, rmax
-
-    vol, inertia_full, rmax = jax.vmap(per_type_integrals)(coeffs)
-    off = np.asarray(
-        jnp.abs(inertia_full - inertia_full * jnp.eye(3)[None]).max(axis=(1, 2))
+    sq = SphereQuadratureNp(setup_quad_n, 2 * setup_quad_n)
+    Ys = real_sh_basis_np(sq.theta, sq.phi, lmax)
+    r_s = coeffs @ Ys.T  # [T, Gs]
+    vol = np.sum(sq.weights[None] * r_s**3, axis=-1) / 3.0
+    w5 = sq.weights[None] * r_s**5 / 5.0
+    nn = sq.dirs[:, :, None] * sq.dirs[:, None, :]  # [Gs,3,3]
+    inertia_full = np.einsum(
+        "tg,gab->tab", w5, np.eye(3)[None] - nn
     )
-    diag = np.asarray(jax.vmap(jnp.diag)(inertia_full))
+    rmax = r_s.max(axis=-1) * 1.001
+    rmin = r_s.min(axis=-1) * 0.999
+
+    diag = np.einsum("taa->ta", inertia_full)
+    off = np.abs(inertia_full - diag[:, :, None] * np.eye(3)[None]).max((1, 2))
     if np.any(off > 1e-3 * diag.max(axis=-1)):
         raise ValueError(
             "Shape inertia tensor is not diagonal — shapes must be given in "
-            f"their principal frame (max off-diagonal/diag: {float((off / diag.max(-1)).max()):.2e})."
+            "their principal frame (max off-diag/diag: "
+            f"{float((off / diag.max(-1)).max()):.2e})."
         )
 
-    table = build_radius_table(coeffs, lmax, table_res[0], table_res[1])
+    table = build_radius_table_np(coeffs, lmax, table_res[0], table_res[1])
 
+    f = lambda a: jnp.asarray(a, dtype)
     return Shapes(
         lmax=lmax,
-        coeffs=coeffs,
-        quad_theta=cq.theta,
-        quad_phi=cq.phi,
-        quad_w=cq.weights,
-        quad_dirs=cq.dirs,
-        node_r=node_r,
-        node_normals=node_normals,
-        node_area=node_area,
-        table=jnp.asarray(table, dtype),
-        rmax=rmax,
-        rchar=coeffs[:, 0] / SQRT4PI,
-        vol=vol,
-        inertia=jnp.asarray(diag, dtype),
-        density=density,
+        coeffs=f(coeffs),
+        quad_theta=f(cq.theta),
+        quad_phi=f(cq.phi),
+        quad_w=f(cq.weights),
+        quad_dirs=f(cq.dirs),
+        node_r=f(node_r),
+        node_normals=f(node_normals),
+        node_area=f(node_area),
+        table=f(table),
+        rmax=f(rmax),
+        rmin=f(rmin),
+        rchar=f(coeffs[:, 0] / SQRT4PI),
+        cap_x=f(cap_x),
+        cap_glw=f(cap_glw),
+        cap_cpsi=f(cap_cpsi),
+        cap_spsi=f(cap_spsi),
+        vol=f(vol),
+        inertia=f(diag),
+        density=f(density),
     )

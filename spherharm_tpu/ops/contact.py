@@ -8,10 +8,16 @@ contact-normal surface integrals), Hertz/friction force and torque
 accumulation"). Instead of a per-pair C++ double loop, everything is a
 batched tensor program over ``[P, G]`` (pairs x quadrature nodes).
 
-Method (both-sides symmetric, Newton's third law exact by construction):
+Method (both-sides symmetric, Newton's third law by construction):
 
-  for each candidate pair (i, j), for each GL surface node k of i:
-    p_k   = x_i + R(q_i) (s_i r_ik n_hat_k)          # world node position
+  for each candidate pair (i, j):
+    build a PATCH-LOCAL Gauss-Legendre grid over the spherical cap of
+    i's surface that can geometrically reach j's bounding sphere
+    (half-angle gamma_max from the tangent-cone bound; the cap — and
+    with it the node density — shrinks to the contact point as the
+    overlap shrinks: adaptive resolution, SURVEY.md 7.3 "patch-local
+    quadrature"). For each cap node k:
+    p_k   = x_i + R(q_i) (s_i r_i(dir_k) dir_k)      # world node position
     u_k   = R(q_j)^T (p_k - x_j);  rho_k = |u_k|     # into j's body frame
     r_jk  = s_j * r_j(theta'_k, phi'_k)              # radius of j there
     inside_k = rho_k < r_jk;   depth_k = r_jk - rho_k
@@ -62,56 +68,110 @@ def minimum_image(d, box_lo, box_hi, periodic):
     return d - shift * pmask
 
 
+def eval_radius(shapes, types, theta, phi, exact: bool):
+    """Per-unit-scale radius + angular gradients of given shape types.
+
+    types: [P], theta/phi: [P, G]. Returns (r, dr_dt, dr_dp) each [P, G].
+    Exact path: unrolled ALP/Ylm recurrences + coefficient contraction
+    (BASELINE.json:5 "associated-Legendre/Ylm recurrences"); table path:
+    bilinear lookup in the precomputed (r, dr_dt, dr_dp) tables.
+    """
+    if exact:
+        Y, dYt, dYp = sh_math.real_sh_basis_grad(theta, phi, shapes.lmax)
+        c = shapes.coeffs[types]  # [P, NC]
+        r = jnp.einsum("pgc,pc->pg", Y, c)
+        drt = jnp.einsum("pgc,pc->pg", dYt, c)
+        drp = jnp.einsum("pgc,pc->pg", dYp, c)
+        return r, drt, drp
+    return sh_math.interp_radius_batched(shapes.table, types, theta, phi)
+
+
+def _orthobasis(e):
+    """Two unit vectors orthogonal to unit e [...,3]."""
+    h = jnp.where(
+        (jnp.abs(e[..., 0:1]) < 0.9),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], e.dtype), e.shape),
+        jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], e.dtype), e.shape),
+    )
+    t1 = jnp.cross(e, h)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True).clip(1e-12)
+    t2 = jnp.cross(e, t1)
+    return t1, t2
+
+
 def surface_probe(xi, qi, si, type_i, xj, qj, sj, type_j, d, shapes,
                   exact: bool):
-    """One-sided probe: i's surface nodes tested against j's surface.
+    """One-sided probe: i's cap-local surface nodes tested against j.
 
     All args are per-pair (leading dim P). ``d`` is the minimum-image
-    x_j - x_i. Returns per-pair integrals:
+    x_j - x_i. Builds the adaptive cap grid on i facing j, evaluates i's
+    own radius there, transforms into j's frame, tests containment.
+
+    Returns per-pair integrals:
       area [P], vol [P], centroid_num [P,3] (area-weighted, relative to
       x_i), normal_num [P,3] (area-weighted outward normals of j, world),
       max_depth [P].
     """
-    G = shapes.n_nodes
-    # Body-frame node positions of i, scaled: [P, G, 3].
-    nodes_body = (
-        shapes.node_r[type_i][..., None] * shapes.quad_dirs[None, :, :]
-    ) * si[..., None, None]
-    # World positions relative to x_i.
-    rel_i = quat_rotate(qi[..., None, :], nodes_body)
-    # Into j's body frame: u = R(qj)^T (p - x_j); p - x_j = rel_i - d.
+    dist = jnp.linalg.norm(d, axis=-1)
+    inv_dist = 1.0 / jnp.maximum(dist, 1e-12)
+    e_world = d * inv_dist[..., None]
+    e_body = quat_rotate_inv(qi, e_world)  # contact axis in i's body frame
+
+    # Cap half-angle: largest polar angle (from e_body) at which a point of
+    # i's surface (radius in [rmin_i, rmax_i]) can lie inside j's bounding
+    # sphere of radius Rj at distance dist. Law of cosines, minimized over
+    # the radial interval (optimum at rho* = sqrt(dist^2 - Rj^2)).
+    Rj = shapes.rmax[type_j] * sj
+    rho_star = jnp.sqrt(jnp.maximum(dist**2 - Rj**2, 0.0))
+    rho_c = jnp.clip(rho_star, shapes.rmin[type_i] * si, shapes.rmax[type_i] * si)
+    cos_gmax = (rho_c**2 + dist**2 - Rj**2) / jnp.maximum(
+        2.0 * rho_c * dist, 1e-12
+    )
+    cos_gmax = jnp.clip(cos_gmax, -1.0, 1.0 - 1e-6)
+
+    # Cap node directions in i's body frame: [P, Gc, 3].
+    one_m = (1.0 - cos_gmax)[..., None]  # [P,1]
+    cos_g = 1.0 - one_m * shapes.cap_x[None, :]
+    sin_g = jnp.sqrt(jnp.maximum(1.0 - cos_g**2, 0.0))
+    t1, t2 = _orthobasis(e_body)
+    dirs = (
+        cos_g[..., None] * e_body[..., None, :]
+        + (sin_g * shapes.cap_cpsi)[..., None] * t1[..., None, :]
+        + (sin_g * shapes.cap_spsi)[..., None] * t2[..., None, :]
+    )
+    theta_i, phi_i = angles_from_unit(dirs)
+
+    # i's own surface at the cap nodes.
+    r_i, drt_i, drp_i = eval_radius(shapes, type_i, theta_i, phi_i, exact)
+    r_i = r_i * si[..., None]
+    n_i = sh_math.surface_normal(
+        r_i, drt_i * si[..., None], drp_i * si[..., None], theta_i, phi_i
+    )
+    cos_incl = jnp.clip(jnp.sum(n_i * dirs, axis=-1), 0.05, 1.0)
+    w_solid = one_m * shapes.cap_glw[None, :]  # dOmega weights
+    dA = w_solid * r_i**2 / cos_incl
+
+    # World positions (relative to x_i) and j-frame containment test.
+    rel_i = quat_rotate(qi[..., None, :], r_i[..., None] * dirs)
     u = quat_rotate_inv(qj[..., None, :], rel_i - d[..., None, :])
     rho = jnp.linalg.norm(u, axis=-1)
     u_hat = u / jnp.maximum(rho, 1e-12)[..., None]
-    theta, phi = angles_from_unit(u_hat)
-
-    if exact:
-        Y, dYt, dYp = sh_math.real_sh_basis_grad(theta, phi, shapes.lmax)
-        cj = shapes.coeffs[type_j]  # [P, NC]
-        r_j = jnp.einsum("pgc,pc->pg", Y, cj)
-        drt = jnp.einsum("pgc,pc->pg", dYt, cj)
-        drp = jnp.einsum("pgc,pc->pg", dYp, cj)
-    else:
-        tables = shapes.table[type_j]  # [P, 3, nt, np]
-        r_j, drt, drp = jax.vmap(sh_math.interp_radius)(tables, theta, phi)
-
+    theta_j, phi_j = angles_from_unit(u_hat)
+    r_j, drt_j, drp_j = eval_radius(shapes, type_j, theta_j, phi_j, exact)
     r_j = r_j * sj[..., None]
-    drt = drt * sj[..., None]
-    drp = drp * sj[..., None]
 
     inside = rho < r_j
     depth = jnp.where(inside, r_j - rho, 0.0)
-
-    # Area element of i's surface at each node (scaled by s_i^2).
-    dA = shapes.node_area[type_i] * (si**2)[..., None]
     w = jnp.where(inside, dA, 0.0)
 
     area = jnp.sum(w, axis=-1)
     vol = jnp.sum(w * depth, axis=-1)
     centroid_num = jnp.sum(w[..., None] * rel_i, axis=-2)  # relative to x_i
 
-    # Outward normal of j at the probe direction, in j's body frame -> world.
-    n_body = sh_math.surface_normal(r_j, drt, drp, theta, phi)
+    # Outward normal of j at the probe points, j body frame -> world.
+    n_body = sh_math.surface_normal(
+        r_j, drt_j * sj[..., None], drp_j * sj[..., None], theta_j, phi_j
+    )
     n_world = quat_rotate(qj[..., None, :], n_body)
     normal_num = jnp.sum(w[..., None] * n_world, axis=-2)
 
@@ -283,3 +343,103 @@ def contact_force_dense(state, shapes, params, neigh,
     # Virial: W_ab = -1/2 sum_pairs d_a F_b (d = x_j - x_i, F on i).
     virial = -0.5 * jnp.einsum("pa,pb->ab", d, force)
     return f, tau, hist_new.reshape(N, K, 3), pe_total, virial
+
+
+@partial(jax.jit, static_argnames=("exact", "periodic", "pair_cap", "chunk"))
+def contact_force_compact(state, shapes, params, neigh,
+                          pair_cap: int,
+                          exact: bool = False,
+                          periodic=(False, False, False),
+                          chunk: int = 16384):
+    """Force/torque via broad-phase compaction to a fixed pair capacity.
+
+    The [N, K] Verlet tensor is mostly empty slack (cutoff includes skin;
+    shapes are smaller than their bounding spheres). A cheap distance cull
+    marks true bounding-sphere overlaps, a stable sort compacts them into
+    ``pair_cap`` slots, and the expensive [P, G] cap-quadrature narrow
+    phase runs only on those. Forces return home by segment-sum (pair
+    slots stay sorted by row), history scatters back to [N, K].
+
+    Returns (f, tau, new_hist, pe_total, virial, n_candidates).
+    ``n_candidates > pair_cap`` means dropped contacts — the caller must
+    track it like a neighbor-list overflow.
+    """
+    N, K = neigh.idx.shape
+    i_idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, K))
+    j_idx = neigh.idx
+
+    # Broad phase over the dense tensor (cheap: [N,K] elementwise).
+    d = minimum_image(
+        state.x[j_idx] - state.x[:, None, :], state.box_lo, state.box_hi,
+        periodic,
+    )
+    dist = jnp.linalg.norm(d, axis=-1)
+    rsum = (
+        shapes.rmax[state.shtype[i_idx]] * state.scale[i_idx]
+        + shapes.rmax[state.shtype[j_idx]] * state.scale[j_idx]
+    )
+    cand = (
+        neigh.mask
+        & (dist < rsum)
+        & state.active[i_idx]
+        & state.active[j_idx]
+    )
+    flat_cand = cand.reshape(-1)
+    n_candidates = jnp.sum(flat_cand.astype(jnp.int32))
+
+    # Stable compaction: sort flat slot ids with candidates first. Sorting
+    # keys ascending by (!cand, slot) keeps slots ordered by row i, so the
+    # segment-sum below sees sorted segment ids.
+    slot = jnp.arange(N * K, dtype=jnp.int32)
+    order = jnp.argsort(jnp.where(flat_cand, slot, slot + N * K))
+    sel = order[:pair_cap]
+    psel_valid = flat_cand[sel]
+    pi = (sel // K).astype(jnp.int32)
+    pk = (sel % K).astype(jnp.int32)
+    pj = j_idx.reshape(-1)[sel]
+
+    def run(block):
+        ii, jj, msk, hist = block
+        gi = gather_particle(state, shapes, ii)
+        gj = gather_particle(state, shapes, jj)
+        return pair_contact(
+            gi[0], gi[1], gi[2], gi[3], gi[4], gi[5], gi[6],
+            gj[0], gj[1], gj[2], gj[3], gj[4], gj[5], gj[6],
+            hist, msk, state.box_lo, state.box_hi, shapes, params,
+            exact=exact, periodic=periodic,
+        )
+
+    blocks = (pi, pj, psel_valid, neigh.hist.reshape(-1, 3)[sel])
+    if chunk and pair_cap > chunk:
+        n_chunks = -(-pair_cap // chunk)
+        pad = n_chunks * chunk - pair_cap
+        blocks = jax.tree.map(
+            lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)),
+            blocks,
+        )
+        blocks = jax.tree.map(
+            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), blocks
+        )
+        force, torque, hist_new, pe, inc, dp = jax.lax.map(run, blocks)
+        unpad = lambda a: a.reshape((n_chunks * chunk,) + a.shape[2:])[:pair_cap]
+        force, torque, hist_new, pe, inc, dp = (
+            unpad(force), unpad(torque), unpad(hist_new), unpad(pe),
+            unpad(inc), unpad(dp),
+        )
+    else:
+        force, torque, hist_new, pe, inc, dp = run(blocks)
+
+    f = jax.ops.segment_sum(force, pi, num_segments=N)
+    tau = jax.ops.segment_sum(torque, pi, num_segments=N)
+    # Non-candidate pairs are out of contact -> their springs reset to 0,
+    # so scatter updates into a zero tensor.
+    hist = (
+        jnp.zeros_like(neigh.hist)
+        .reshape(-1, 3)
+        .at[sel]
+        .set(jnp.where(psel_valid[:, None], hist_new, 0.0))
+        .reshape(N, K, 3)
+    )
+    pe_total = 0.5 * jnp.sum(pe)
+    virial = -0.5 * jnp.einsum("pa,pb->ab", dp, force)
+    return f, tau, hist, pe_total, virial, n_candidates

@@ -272,7 +272,7 @@ def shape_rmax(coeffs, lmax: int, n_scan: int = 96) -> float:
                          jax.config.read("jax_enable_x64") else jnp.float32)
     Y = real_sh_basis(q.theta, q.phi, lmax)
     r = radius_from_basis(jnp.asarray(coeffs), Y)
-    return float(jnp.max(r)) * 1.01
+    return float(jnp.max(r)) * 1.001
 
 
 # ---------------------------------------------------------------------------
@@ -331,6 +331,41 @@ def interp_radius(table, theta, phi):
         v01 = t[i0, j1]
         v10 = t[i1, j0]
         v11 = t[i1, j1]
+        return (
+            v00 * (1 - wt) * (1 - wp)
+            + v01 * (1 - wt) * wp
+            + v10 * wt * (1 - wp)
+            + v11 * wt * wp
+        )
+
+    return gather(0), gather(1), gather(2)
+
+
+def interp_radius_batched(tables, types, theta, phi):
+    """Bilinear (r, dr/dt, dr/dp) lookup for per-element shape types.
+
+    tables: [T, 3, nt, np]; types: [...]; theta/phi: [..., G] (or any shape
+    broadcastable with types[..., None]). Gathers single table entries by
+    (type, channel, i, j) — never materializes per-element table copies
+    (the naive ``tables[types]`` gather is O(P * table_size) memory).
+    """
+    nt, npp = tables.shape[-2], tables.shape[-1]
+    ft = theta * (nt / math.pi) - 0.5
+    fp = (phi % (2.0 * math.pi)) * (npp / (2.0 * math.pi)) - 0.5
+    i0 = jnp.clip(jnp.floor(ft), 0, nt - 1).astype(jnp.int32)
+    i1 = jnp.clip(i0 + 1, 0, nt - 1)
+    wt = jnp.clip(ft - i0, 0.0, 1.0)
+    j0f = jnp.floor(fp)
+    wp = fp - j0f
+    j0 = jnp.mod(j0f.astype(jnp.int32), npp)
+    j1 = jnp.mod(j0 + 1, npp)
+    tt = types[..., None] if types.ndim == theta.ndim - 1 else types
+
+    def gather(c):
+        v00 = tables[tt, c, i0, j0]
+        v01 = tables[tt, c, i0, j1]
+        v10 = tables[tt, c, i1, j0]
+        v11 = tables[tt, c, i1, j1]
         return (
             v00 * (1 - wt) * (1 - wp)
             + v01 * (1 - wt) * wp

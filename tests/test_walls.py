@@ -1,0 +1,103 @@
+"""Wall contacts: equilibrium rest depth + bounce (SURVEY.md 2 B.5)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spherharm_tpu.core.simulation import Simulation
+from spherharm_tpu.core.state import SimParams
+from spherharm_tpu.models import scenarios, shapes_library
+from spherharm_tpu.ops.walls import CylinderWall, PlaneWall
+
+
+def _dropped_sphere(gamma_n=200.0, kn=1e5, R=0.5, h=0.6, mu=0.0):
+    lmax = 0
+    shapes = shapes_library.build_shapes(
+        [shapes_library.sphere_coeffs(R, lmax)], lmax, contact_quad=(12, 24)
+    )
+    params = SimParams.create(
+        dt=1e-4, kn=kn, gamma_n=gamma_n, mu=mu,
+        gravity=(0.0, 0.0, -10.0), cutoff=2 * R, skin=0.2 * R,
+    )
+    state = scenarios.make_state(
+        [[0.0, 0.0, h]], [-2, -2, 0], [2, 2, 4],
+    )
+    walls = (PlaneWall.create((0, 0, 0), (0, 0, 1)),)
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+                     walls=walls)
+    state, neigh = sim.init_neighbors(state)
+    return sim, state, neigh
+
+
+def test_sphere_settles_to_hertz_equilibrium():
+    R, kn = 0.5, 1e5
+    sim, state, neigh = _dropped_sphere(gamma_n=500.0, kn=kn, R=R)
+    state, neigh = sim.run(state, neigh, 20000)
+    m = float(sim.shapes.mass_of(state.shtype, state.scale)[0])
+    # Equilibrium: kn*sqrt(R)*delta^{3/2} = m g
+    delta_eq = (m * 10.0 / (kn * np.sqrt(R))) ** (2 / 3)
+    z = float(state.x[0, 2])
+    assert z == pytest.approx(R - delta_eq, abs=0.15 * delta_eq + 1e-4)
+    assert abs(float(state.v[0, 2])) < 1e-3
+
+
+def test_bounce_restitution_below_one():
+    sim, state, neigh = _dropped_sphere(gamma_n=100.0, h=1.0)
+    zs = []
+    for _ in range(40):
+        state, neigh = sim.run(state, neigh, 200)
+        zs.append(float(state.x[0, 2]))
+    peak = max(zs[5:])  # apex after first bounce
+    assert peak < 1.0  # lost energy
+    assert peak > 0.5  # but bounced
+
+
+def test_cylinder_wall_confines():
+    lmax = 0
+    R_p, R_c = 0.3, 2.0
+    shapes = shapes_library.build_shapes(
+        [shapes_library.sphere_coeffs(R_p, lmax)], lmax, contact_quad=(10, 20)
+    )
+    params = SimParams.create(
+        dt=1e-4, kn=1e5, gamma_n=300.0, mu=0.3,
+        gravity=(0.0, 0.0, -10.0), cutoff=2 * R_p, skin=0.1 * R_p,
+    )
+    state = scenarios.make_state(
+        [[0.5, 0.0, 0.5]], [-3, -3, -3], [3, 3, 3],
+        v=[[1.5, 0.0, 0.0]],
+    )
+    walls = (CylinderWall.create((0, 0, 0), (0, 1, 0), R_c, omega=0.0),)
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+                     walls=walls)
+    state, neigh = sim.init_neighbors(state)
+    state, neigh = sim.run(state, neigh, 30000)
+    x = np.asarray(state.x[0])
+    rad = np.hypot(x[0], x[2])
+    # Settled inside the drum shell, resting near the bottom.
+    assert rad <= R_c - R_p * 0.8
+    assert x[2] == pytest.approx(-(R_c - R_p), abs=0.1 * R_p)
+
+
+def test_rotating_drum_drags_particle():
+    """Friction from a spinning drum wall should torque a resting sphere."""
+    lmax = 0
+    R_p, R_c = 0.3, 2.0
+    shapes = shapes_library.build_shapes(
+        [shapes_library.sphere_coeffs(R_p, lmax)], lmax, contact_quad=(10, 20)
+    )
+    params = SimParams.create(
+        dt=1e-4, kn=1e5, gamma_n=300.0, gamma_t=300.0, mu=0.5,
+        gravity=(0.0, 0.0, -10.0), cutoff=2 * R_p, skin=0.1 * R_p,
+    )
+    state = scenarios.make_state(
+        [[0.0, 0.0, -(R_c - R_p) + 0.01]], [-3, -3, -3], [3, 3, 3],
+    )
+    walls = (CylinderWall.create((0, 0, 0), (0, 1, 0), R_c, omega=0.5),)
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+                     walls=walls)
+    state, neigh = sim.init_neighbors(state)
+    state, neigh = sim.run(state, neigh, 5000)
+    # Drum spins about +y; wall surface at bottom moves in -x... the
+    # particle should be dragged sideways and start spinning about y.
+    assert abs(float(state.x[0, 0])) > 0.01
+    assert abs(float(state.angmom[0, 1])) > 1e-5
