@@ -95,9 +95,14 @@ class Simulation:
         )
         state = state.replace(x=x, image=image)
         idx, mask, overflow = self._build_list(state)
-        hist = neighbor.remap_history(idx, mask, neigh.idx, neigh.mask, neigh.hist)
+        neigh_tag = jnp.where(mask, state.tag[idx], 0)
+        row_ok = neigh.row_tag == state.tag  # single-device: slots stable
+        hist = neighbor.remap_history(
+            neigh_tag, mask, neigh.neigh_tag, neigh.mask, neigh.hist, row_ok
+        )
         neigh = neigh.replace(
-            idx=idx, mask=mask, hist=hist, x_build=state.x,
+            idx=idx, mask=mask, hist=hist, neigh_tag=neigh_tag,
+            row_tag=state.tag, x_build=state.x,
             overflow=jnp.maximum(neigh.overflow, overflow),
         )
         return state, neigh

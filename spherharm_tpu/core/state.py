@@ -30,6 +30,8 @@ class State:
     tau: jax.Array      # [cap, 3] torque accumulator
     scale: jax.Array    # [cap]    per-particle size factor (polydispersity)
     shtype: jax.Array   # [cap]    int32 shape-type index into Shapes tables
+    tag: jax.Array      # [cap]    int32 persistent global particle id (1-based;
+                        #          0 = empty slot), LAMMPS "atom tag"
     active: jax.Array   # [cap]    bool slot validity
     image: jax.Array    # [cap, 3] int32 PBC image counters
     box_lo: jax.Array   # [3]
@@ -111,6 +113,10 @@ class NeighborState:
     idx: jax.Array      # [cap, K] int32 neighbor slot indices (0 if invalid)
     mask: jax.Array     # [cap, K] bool validity
     hist: jax.Array     # [cap, K, 3] tangential-spring displacement (world)
+    neigh_tag: jax.Array  # [cap, K] int32 neighbor TAGS at build time — the
+                          # stable key for carrying history across rebuilds
+                          # (slot ids shuffle under sharding/migration)
+    row_tag: jax.Array    # [cap] int32 owner tag of each row at build time
     wall_hist: jax.Array  # [cap, W, 3] per-wall tangential springs
     x_build: jax.Array  # [cap, 3] positions at build time (skin trigger)
     overflow: jax.Array # int32: max candidate count seen (> K means trouble)
@@ -171,6 +177,7 @@ def zeros_state(cap: int, box_lo, box_hi, dtype=jnp.float32) -> State:
         tau=jnp.zeros((cap, 3), dtype),
         scale=jnp.ones((cap,), dtype),
         shtype=jnp.zeros((cap,), jnp.int32),
+        tag=jnp.zeros((cap,), jnp.int32),
         active=jnp.zeros((cap,), bool),
         image=jnp.zeros((cap, 3), jnp.int32),
         box_lo=jnp.asarray(box_lo, dtype),
@@ -185,6 +192,8 @@ def empty_neighbors(cap: int, k_max: int, n_walls: int = 0,
         idx=jnp.zeros((cap, k_max), jnp.int32),
         mask=jnp.zeros((cap, k_max), bool),
         hist=jnp.zeros((cap, k_max, 3), dtype),
+        neigh_tag=jnp.zeros((cap, k_max), jnp.int32),
+        row_tag=jnp.zeros((cap,), jnp.int32),
         wall_hist=jnp.zeros((cap, max(n_walls, 1), 3), dtype),
         x_build=jnp.zeros((cap, 3), dtype),
         overflow=jnp.asarray(0, jnp.int32),

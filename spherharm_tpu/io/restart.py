@@ -1,0 +1,59 @@
+"""Binary checkpoint / restart of the full simulation state.
+
+Equivalent of the reference's WriteRestart/ReadRestart (SURVEY.md
+section 3.4 / 5.4): the whole State pytree IS the checkpoint, and —
+the subtle part the survey flags — per-pair contact history
+(tangential springs + their tag keys) rides along, so friction forces
+are bit-identical after resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from spherharm_tpu.core.state import NeighborState, SimParams, State
+
+
+_STATE_FIELDS = (
+    "x", "v", "q", "angmom", "f", "tau", "scale", "shtype", "tag",
+    "active", "image", "box_lo", "box_hi", "step",
+)
+_NEIGH_FIELDS = (
+    "idx", "mask", "hist", "neigh_tag", "row_tag", "wall_hist",
+    "x_build", "overflow",
+)
+_PARAM_FIELDS = (
+    "dt", "kn", "kt", "gamma_n", "gamma_t", "mu", "gravity", "skin", "cutoff",
+)
+
+
+def write_restart(path, state: State, neigh: NeighborState,
+                  params: SimParams, extra: dict | None = None):
+    """Serialize (state, neighbors+history, params) to one .npz file."""
+    blob = {}
+    for f in _STATE_FIELDS:
+        blob[f"state.{f}"] = np.asarray(getattr(state, f))
+    for f in _NEIGH_FIELDS:
+        blob[f"neigh.{f}"] = np.asarray(getattr(neigh, f))
+    for f in _PARAM_FIELDS:
+        blob[f"params.{f}"] = np.asarray(getattr(params, f))
+    for k, v in (extra or {}).items():
+        blob[f"extra.{k}"] = np.asarray(v)
+    np.savez_compressed(path, **blob)
+
+
+def read_restart(path):
+    """Load (state, neigh, params, extra) back as device pytrees."""
+    z = np.load(path)
+    state = State(**{f: jnp.asarray(z[f"state.{f}"]) for f in _STATE_FIELDS})
+    neigh = NeighborState(
+        **{f: jnp.asarray(z[f"neigh.{f}"]) for f in _NEIGH_FIELDS}
+    )
+    params = SimParams(
+        **{f: jnp.asarray(z[f"params.{f}"]) for f in _PARAM_FIELDS}
+    )
+    extra = {
+        k[len("extra."):]: z[k] for k in z.files if k.startswith("extra.")
+    }
+    return state, neigh, params, extra

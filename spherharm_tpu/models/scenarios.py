@@ -38,6 +38,7 @@ def make_state(
     put = lambda field, val: field.at[:n].set(jnp.asarray(val, field.dtype))
     st = st.replace(
         x=put(st.x, x),
+        tag=st.tag.at[:n].set(jnp.arange(1, n + 1, dtype=jnp.int32)),
         active=st.active.at[:n].set(True),
     )
     if v is not None:

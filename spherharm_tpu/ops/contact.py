@@ -350,7 +350,8 @@ def contact_force_compact(state, shapes, params, neigh,
                           pair_cap: int,
                           exact: bool = False,
                           periodic=(False, False, False),
-                          chunk: int = 16384):
+                          chunk: int = 16384,
+                          owned=None):
     """Force/torque via broad-phase compaction to a fixed pair capacity.
 
     The [N, K] Verlet tensor is mostly empty slack (cutoff includes skin;
@@ -378,10 +379,12 @@ def contact_force_compact(state, shapes, params, neigh,
         shapes.rmax[state.shtype[i_idx]] * state.scale[i_idx]
         + shapes.rmax[state.shtype[j_idx]] * state.scale[j_idx]
     )
+    if owned is None:
+        owned = state.active
     cand = (
         neigh.mask
         & (dist < rsum)
-        & state.active[i_idx]
+        & owned[i_idx]
         & state.active[j_idx]
     )
     flat_cand = cand.reshape(-1)

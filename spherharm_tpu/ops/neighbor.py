@@ -84,6 +84,7 @@ def cell_list_neighbors(
     x, active, box_lo, box_hi, cutoff,
     grid_dims: tuple, cell_cap: int, k_max: int,
     periodic=(False, False, False),
+    bin_lo=None, bin_hi=None, owned=None,
 ):
     """Cell-binned neighbor build. Returns (idx, mask, count, cell_overflow).
 
@@ -94,14 +95,25 @@ def cell_list_neighbors(
       4. stencil:  gather 27 neighboring cells -> [N, 27*cell_cap] candidates
       5. filter:   min-image distance < cutoff, self/inactive excluded
       6. compact:  stable top_k on validity -> [N, k_max]
+
+    Sharded use (SURVEY.md 2 B.6): pass the extended local+ghost arrays,
+    ``bin_lo``/``bin_hi`` covering the owned slab plus halo margin (the
+    PBC box stays ``box_lo``/``box_hi``), ``owned`` marking owned rows
+    (ghosts appear only as j), and periodic=False along the sharded axis
+    (ghost images are explicit there).
     """
     N = x.shape[0]
+    if bin_lo is None:
+        bin_lo = box_lo
+    if bin_hi is None:
+        bin_hi = box_hi
+    if owned is None:
+        owned = active
     D = jnp.asarray(grid_dims, jnp.int32)
     n_cells = int(grid_dims[0] * grid_dims[1] * grid_dims[2])
-    L = box_hi - box_lo
-    cell_sz = L / jnp.asarray(grid_dims, x.dtype)
+    cell_sz = (bin_hi - bin_lo) / jnp.asarray(grid_dims, x.dtype)
 
-    cc = jnp.floor((x - box_lo) / cell_sz).astype(jnp.int32)
+    cc = jnp.floor((x - bin_lo) / cell_sz).astype(jnp.int32)
     cc = jnp.clip(cc, 0, D - 1)
     cid = (cc[:, 0] * D[1] + cc[:, 1]) * D[2] + cc[:, 2]
     cid = jnp.where(active, cid, n_cells)  # inactive -> overflow bin
@@ -149,7 +161,7 @@ def cell_list_neighbors(
         & (cand != jnp.arange(N)[:, None])
         & (dist2 < cutoff**2)
         & active[safe]
-        & active[:, None]
+        & owned[:, None]
     )
     count = jnp.sum(valid, axis=1)
 
@@ -161,26 +173,36 @@ def cell_list_neighbors(
 
 
 @partial(jax.jit, static_argnames=("chunk",))
-def remap_history(new_idx, new_mask, old_idx, old_mask, old_hist,
-                  chunk: int = 4096):
+def remap_history(new_key, new_mask, old_key, old_mask, old_hist,
+                  row_ok=None, chunk: int = 4096):
     """Carry tangential-spring state across a neighbor rebuild.
 
-    For each row, match new neighbor ids against old ids (masked equality
-    join) and gather the old spring; unmatched (fresh) contacts start at
-    zero. The [N, K_new, K_old] match tensor is materialized per chunk to
-    bound memory (SURVEY.md 7.3 "history remap ... fiddly masked code").
+    Keys are stable per-neighbor identifiers — neighbor TAGS in general
+    (slot indices shuffle under sharding/migration; tags don't). For each
+    row, match new keys against old keys (masked equality join) and gather
+    the old spring; unmatched (fresh) contacts start at zero. ``row_ok``
+    [N] masks rows whose owner changed slots (immigrants start fresh).
+    The [N, K_new, K_old] match tensor is materialized per chunk to bound
+    memory (SURVEY.md 7.3 "history remap ... fiddly masked code").
     """
-    N, K = new_idx.shape
+    N, K = new_key.shape
+    if row_ok is None:
+        row_ok = jnp.ones((N,), bool)
 
     def body(args):
-        ni, nm, oi, om, oh = args
-        m = (ni[:, :, None] == oi[:, None, :]) & om[:, None, :] & nm[:, :, None]
+        ni, nm, oi, om, oh, rk = args
+        m = (
+            (ni[:, :, None] == oi[:, None, :])
+            & om[:, None, :]
+            & nm[:, :, None]
+            & rk[:, None, None]
+        )
         return jnp.einsum("nkl,nlc->nkc", m.astype(oh.dtype), oh)
 
     if N > chunk:
         n_chunks = -(-N // chunk)
         pad = n_chunks * chunk - N
-        args = (new_idx, new_mask, old_idx, old_mask, old_hist)
+        args = (new_key, new_mask, old_key, old_mask, old_hist, row_ok)
         args = jax.tree.map(
             lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)), args
         )
@@ -189,7 +211,7 @@ def remap_history(new_idx, new_mask, old_idx, old_mask, old_hist,
         )
         out = jax.lax.map(body, args)
         return out.reshape((n_chunks * chunk,) + out.shape[2:])[:N]
-    return body((new_idx, new_mask, old_idx, old_mask, old_hist))
+    return body((new_key, new_mask, old_key, old_mask, old_hist, row_ok))
 
 
 def wrap_positions(x, image, box_lo, box_hi, periodic):

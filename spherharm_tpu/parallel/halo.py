@@ -1,0 +1,617 @@
+"""Spatial domain decomposition over a TPU mesh: slabs + ppermute halos.
+
+TPU-native replacement for the reference's MPI Comm layer (SURVEY.md
+section 2 B.6 / 3.5; contract BASELINE.json:5 "MPI spatial domain
+decomposition and ghost-atom exchange are replaced by sharded particle
+arrays with jax.lax collectives across a TPU mesh"). Mapping of the
+reference's comm surface:
+
+  Comm::exchange()      -> migrate(): leavers selected into fixed-capacity
+                           buffers, lax.ppermute to ring neighbors, merged
+                           into free slots (rebuild steps only)
+  Comm::borders()       -> halo membership re-selection at rebuild: owned
+                           particles within cutoff+skin of a slab face
+  Comm::forward_comm()  -> every step: gather (x, v, q, angmom) at the
+                           stored send indices, ppermute, refresh ghosts
+  Comm::reverse_comm()  -> NOT NEEDED: the neighbor list is a FULL list,
+                           every owner computes its own forces from ghosts
+                           (Newton-off in LAMMPS terms — the scatter-free
+                           TPU-friendly choice)
+  MPI_Allreduce         -> lax.psum / lax.pmax for thermo and the global
+                           neighbor-rebuild decision
+
+Decomposition: 1D slabs along x over a mesh axis "x" (a ring). Each
+device owns ``cap_local`` fixed particle slots (masked). Ghost slots:
+[:H] mirror the LEFT neighbor's right edge, [H:] the RIGHT neighbor's
+left edge; the periodic seam is handled by the sender shifting x by
++/- Lx, so every downstream computation sees explicit coordinates and
+NO minimum-imaging is needed along x.
+
+Migrating particles drop their tangential-spring history in this round
+(fresh contact on arrival; the per-row tag guard in remap_history makes
+this safe); carrying springs inside the migration buffer is a planned
+refinement.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spherharm_tpu.core.state import (
+    NeighborState,
+    State,
+    empty_neighbors,
+)
+from spherharm_tpu.ops import contact, integrate, neighbor, walls as walls_mod
+
+# Particle fields that travel in migration / halo buffers.
+COMM_FIELDS = ("x", "v", "q", "angmom", "scale", "shtype", "tag", "image")
+
+
+@struct.dataclass
+class GhostPack:
+    """Ghost mirrors + forward-comm routing (rebuilt at each re-neighbor)."""
+
+    x: jax.Array        # [2H, 3]
+    v: jax.Array        # [2H, 3]
+    q: jax.Array        # [2H, 4]
+    angmom: jax.Array   # [2H, 3]
+    scale: jax.Array    # [2H]
+    shtype: jax.Array   # [2H] int32
+    tag: jax.Array      # [2H] int32
+    active: jax.Array   # [2H] bool
+    send_idx: jax.Array   # [2H] int32: my slots to forward ([:H] left, [H:] right)
+    send_mask: jax.Array  # [2H] bool
+
+
+def empty_ghosts(h_cap: int, dtype=jnp.float32) -> GhostPack:
+    H2 = 2 * h_cap
+    return GhostPack(
+        x=jnp.zeros((H2, 3), dtype), v=jnp.zeros((H2, 3), dtype),
+        q=jnp.zeros((H2, 4), dtype).at[:, 0].set(1.0),
+        angmom=jnp.zeros((H2, 3), dtype),
+        scale=jnp.ones((H2,), dtype),
+        shtype=jnp.zeros((H2,), jnp.int32),
+        tag=jnp.zeros((H2,), jnp.int32),
+        active=jnp.zeros((H2,), bool),
+        send_idx=jnp.zeros((H2,), jnp.int32),
+        send_mask=jnp.zeros((H2,), bool),
+    )
+
+
+def _select_fill(mask, cap: int):
+    """Indices of up to ``cap`` True entries of mask (stable), + validity."""
+    score = jnp.where(mask, 1.0, 0.0)
+    _, idx = jax.lax.top_k(score, cap)
+    valid = jnp.take(mask, idx)
+    return idx.astype(jnp.int32), valid
+
+
+class ShardedSimulation:
+    """Slab-sharded DEM over a 1D device mesh (config 5, BASELINE.json:11).
+
+    Static config mirrors ``Simulation``; state/neighbors/ghosts ride in
+    pytrees whose per-particle leaves are sharded over mesh axis "x".
+    """
+
+    def __init__(
+        self,
+        shapes,
+        params,
+        *,
+        mesh: Mesh,
+        box_lo,
+        box_hi,
+        cap_local: int,
+        halo_cap: int,
+        migrate_cap: int = 0,
+        periodic=(True, True, True),
+        k_max: int = 32,
+        cell_cap: int = 8,
+        pair_capacity: int = 0,
+        pair_chunk: int = 16384,
+        walls: tuple = (),
+        exact_eval: bool = False,
+    ):
+        self.shapes = shapes
+        self.params = params
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+        self.cap_local = int(cap_local)
+        self.halo_cap = int(halo_cap)
+        self.migrate_cap = int(migrate_cap) or max(halo_cap // 2, 16)
+        self.periodic = tuple(bool(p) for p in periodic)
+        self.k_max = int(k_max)
+        self.cell_cap = int(cell_cap)
+        self.pair_capacity = int(pair_capacity) or 8 * cap_local
+        self.pair_chunk = int(pair_chunk)
+        self.walls = tuple(walls)
+        self.exact_eval = bool(exact_eval)
+
+        self.box_lo_np = np.asarray(box_lo, np.float64)
+        self.box_hi_np = np.asarray(box_hi, np.float64)
+        self.slab_w = (self.box_hi_np[0] - self.box_lo_np[0]) / self.n_shards
+        cutoff_total = float(params.cutoff + params.skin)
+        self.halo_depth = cutoff_total
+        if self.slab_w < self.halo_depth:
+            raise ValueError(
+                f"slab width {self.slab_w:.3g} < cutoff+skin "
+                f"{self.halo_depth:.3g}: too many shards for this box"
+            )
+        # Static per-device bin grid covering slab + halo margin.
+        bin_lo = np.array(
+            [-self.halo_depth, self.box_lo_np[1], self.box_lo_np[2]]
+        )
+        bin_hi = np.array(
+            [self.slab_w + self.halo_depth, self.box_hi_np[1], self.box_hi_np[2]]
+        )
+        dims = np.maximum(
+            np.floor((bin_hi - bin_lo) / cutoff_total).astype(int), 1
+        )
+        self.grid_dims = tuple(int(v) for v in dims)
+        # Periodicity for pair math: x images are explicit ghosts.
+        self.periodic_eff = (False, self.periodic[1], self.periodic[2])
+
+    # -- sharding specs ----------------------------------------------------
+
+    def _is_sharded_leaf(self, leaf) -> bool:
+        """Per-particle leaves (global shape P * {cap_local, cap_ext, 2H})."""
+        if leaf.ndim < 1 or leaf.shape[0] % self.n_shards != 0:
+            return False
+        per_dev = leaf.shape[0] // self.n_shards
+        return per_dev in (self.cap_local, self.cap_ext, 2 * self.halo_cap)
+
+    def _specs(self, tree):
+        return jax.tree.map(
+            lambda leaf: P("x") if self._is_sharded_leaf(leaf) else P(), tree
+        )
+
+    @property
+    def cap_ext(self) -> int:
+        return self.cap_local + 2 * self.halo_cap
+
+    # -- distribution (host-side) ------------------------------------------
+
+    def distribute(self, state_global: State):
+        """Partition a single-box State into sharded per-slab slots."""
+        P_ = self.n_shards
+        x = np.asarray(state_global.x)
+        active = np.asarray(state_global.active)
+        slab = np.clip(
+            ((x[:, 0] - self.box_lo_np[0]) // self.slab_w).astype(int), 0, P_ - 1
+        )
+        locals_ = []
+        for p in range(P_):
+            sel = np.flatnonzero(active & (slab == p))
+            if sel.size > self.cap_local:
+                raise ValueError(
+                    f"slab {p} holds {sel.size} > cap_local={self.cap_local}"
+                )
+            pad = self.cap_local - sel.size
+            rows = {}
+            for f in COMM_FIELDS + ("active",):
+                v = np.asarray(getattr(state_global, f))[sel]
+                v = np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                )
+                rows[f] = v
+            rows["active"][sel.size:] = False
+            rows["q"][sel.size:, 0] = 1.0
+            rows["scale"][sel.size:] = 1.0
+            locals_.append(rows)
+
+        def cat(f):
+            return jnp.asarray(np.concatenate([loc[f] for loc in locals_]))
+
+        dtype = state_global.x.dtype
+        st = State(
+            x=cat("x").astype(dtype), v=cat("v").astype(dtype),
+            q=cat("q").astype(dtype), angmom=cat("angmom").astype(dtype),
+            f=jnp.zeros((P_ * self.cap_local, 3), dtype),
+            tau=jnp.zeros((P_ * self.cap_local, 3), dtype),
+            scale=cat("scale").astype(dtype), shtype=cat("shtype"),
+            tag=cat("tag"), active=cat("active"), image=cat("image"),
+            box_lo=state_global.box_lo, box_hi=state_global.box_hi,
+            step=state_global.step,
+        )
+        neigh = empty_neighbors(
+            P_ * self.cap_ext, self.k_max, len(self.walls), dtype=dtype
+        )
+        # wall_hist rows only needed for owned slots; keep cap_ext for shape
+        # uniformity with the neighbor rows.
+        ghosts = jax.tree.map(
+            lambda a: jnp.concatenate([a] * P_, axis=0),
+            empty_ghosts(self.halo_cap, dtype),
+        )
+        sharding = NamedSharding(self.mesh, P("x"))
+
+        def put(leaf):
+            if self._is_sharded_leaf(leaf):
+                return jax.device_put(leaf, sharding)
+            return jax.device_put(leaf, NamedSharding(self.mesh, P()))
+
+        st = jax.tree.map(put, st)
+        neigh = jax.tree.map(put, neigh)
+        ghosts = jax.tree.map(put, ghosts)
+        return st, neigh, ghosts
+
+    # -- per-device building blocks (called inside shard_map) ---------------
+
+    def _ring_shift(self, val, direction: str):
+        """ppermute one hop around the ring. direction='left' sends to
+        device idx-1 (so I receive my RIGHT neighbor's buffer)."""
+        P_ = self.n_shards
+        if direction == "left":
+            perm = [(i, (i - 1) % P_) for i in range(P_)]
+        else:
+            perm = [(i, (i + 1) % P_) for i in range(P_)]
+        return jax.lax.ppermute(val, "x", perm)
+
+    def _seam_shifts(self, idx):
+        """x-shift a SENT particle gets (periodic seam unwrap)."""
+        Lx = (self.box_hi_np - self.box_lo_np)[0]
+        left_send = jnp.where(idx == 0, Lx, 0.0)       # 0 -> P-1: x += Lx
+        right_send = jnp.where(idx == self.n_shards - 1, -Lx, 0.0)
+        return left_send.astype(jnp.float32), right_send.astype(jnp.float32)
+
+    def _has_left(self, idx):
+        return self.periodic[0] | (idx > 0)
+
+    def _has_right(self, idx):
+        return self.periodic[0] | (idx < self.n_shards - 1)
+
+    def _gather_send(self, state, send_idx, send_mask):
+        """Gather + ship forward-comm fields; returns ghost field dict."""
+        idx = jax.lax.axis_index("x")
+        sl, sr = self._seam_shifts(idx)
+        H = self.halo_cap
+        out = {}
+        for f in ("x", "v", "q", "angmom"):
+            vals = getattr(state, f)[send_idx]
+            if f == "x":
+                vals = vals.at[:H, 0].add(sl).at[H:, 0].add(sr)
+            from_right = self._ring_shift(vals[:H], "left")
+            from_left = self._ring_shift(vals[H:], "right")
+            out[f] = jnp.concatenate([from_left, from_right], axis=0)
+        return out
+
+    def _halo_membership(self, state):
+        """Select owned particles within halo_depth of each slab face."""
+        idx = jax.lax.axis_index("x")
+        slab_lo = state.box_lo[0] + idx * self.slab_w
+        slab_hi = slab_lo + self.slab_w
+        near_l = state.active & (state.x[:, 0] < slab_lo + self.halo_depth)
+        near_r = state.active & (state.x[:, 0] >= slab_hi - self.halo_depth)
+        near_l = near_l & self._has_left(idx)
+        near_r = near_r & self._has_right(idx)
+        il, vl = _select_fill(near_l, self.halo_cap)
+        ir, vr = _select_fill(near_r, self.halo_cap)
+        send_idx = jnp.concatenate([il, ir])
+        send_mask = jnp.concatenate([vl, vr])
+        overflow = jnp.maximum(jnp.sum(near_l), jnp.sum(near_r))
+        return send_idx, send_mask, overflow
+
+    def _migrate(self, state):
+        """Move owned particles whose slab changed to ring neighbors."""
+        idx = jax.lax.axis_index("x")
+        M = self.migrate_cap
+        tgt = jnp.clip(
+            jnp.floor(
+                (state.x[:, 0] - state.box_lo[0]) / self.slab_w
+            ).astype(jnp.int32),
+            0, self.n_shards - 1,
+        )
+        go_left = state.active & (tgt == (idx - 1) % self.n_shards)
+        go_right = state.active & (tgt == (idx + 1) % self.n_shards)
+        go_left = go_left & self._has_left(idx) & (self.n_shards > 1)
+        go_right = go_right & self._has_right(idx) & (self.n_shards > 1)
+        il, vl = _select_fill(go_left, M)
+        ir, vr = _select_fill(go_right, M)
+        mig_overflow = jnp.maximum(jnp.sum(go_left), jnp.sum(go_right))
+
+        sl, sr = self._seam_shifts(idx)
+        bufs = {}
+        for f in COMM_FIELDS:
+            arr = getattr(state, f)
+            lv, rv = arr[il], arr[ir]
+            if f == "x":
+                lv = lv.at[:, 0].add(sl)
+                rv = rv.at[:, 0].add(sr)
+            bufs[f] = (lv, rv)
+        from_right = {
+            f: self._ring_shift(bufs[f][0], "left") for f in COMM_FIELDS
+        }
+        from_left = {
+            f: self._ring_shift(bufs[f][1], "right") for f in COMM_FIELDS
+        }
+        recv_valid = jnp.concatenate(
+            [self._ring_shift(vr, "right"), self._ring_shift(vl, "left")]
+        )
+        recv = {
+            f: jnp.concatenate([from_left[f], from_right[f]], axis=0)
+            for f in COMM_FIELDS
+        }
+
+        # Deactivate leavers, then place arrivals into free slots. Writes
+        # for unplaced arrivals are routed to a sacrificial pad row.
+        active = state.active & ~(go_left | go_right)
+        free_idx, free_ok = _select_fill(~active, 2 * M)
+        place = recv_valid & free_ok
+        slot = jnp.where(place, free_idx, self.cap_local)
+
+        def scatter(field, val):
+            pad = jnp.zeros((1,) + field.shape[1:], field.dtype)
+            ext = jnp.concatenate([field, pad], axis=0)
+            return ext.at[slot].set(val)[:-1]
+
+        new_fields = {f: scatter(getattr(state, f), recv[f]) for f in COMM_FIELDS}
+        act_ext = jnp.concatenate([active, jnp.zeros((1,), bool)])
+        active = act_ext.at[slot].set(place)[:-1]
+        state = state.replace(active=active, **new_fields)
+        return state, mig_overflow
+
+    def _extend(self, state: State, ghosts: GhostPack):
+        """Concatenate owned + ghost slots into one extended State view."""
+        z3 = jnp.zeros((2 * self.halo_cap, 3), state.x.dtype)
+        return state.replace(
+            x=jnp.concatenate([state.x, ghosts.x]),
+            v=jnp.concatenate([state.v, ghosts.v]),
+            q=jnp.concatenate([state.q, ghosts.q]),
+            angmom=jnp.concatenate([state.angmom, ghosts.angmom]),
+            scale=jnp.concatenate([state.scale, ghosts.scale]),
+            shtype=jnp.concatenate([state.shtype, ghosts.shtype]),
+            tag=jnp.concatenate([state.tag, ghosts.tag]),
+            active=jnp.concatenate([state.active, ghosts.active]),
+            f=jnp.concatenate([state.f, z3]),
+            tau=jnp.concatenate([state.tau, z3]),
+            image=jnp.concatenate(
+                [state.image, jnp.zeros((2 * self.halo_cap, 3), jnp.int32)]
+            ),
+        )
+
+    def _owned_mask(self, dtype=bool):
+        return jnp.concatenate([
+            jnp.ones((self.cap_local,), bool),
+            jnp.zeros((2 * self.halo_cap,), bool),
+        ])
+
+    def _rebuild(self, state: State, neigh: NeighborState, ghosts: GhostPack):
+        """exchange() + borders() + neighbor build + history remap."""
+        idx = jax.lax.axis_index("x")
+        x, image = neighbor.wrap_positions(
+            state.x, state.image, state.box_lo, state.box_hi, self.periodic
+        )
+        state = state.replace(x=x, image=image)
+        state, mig_ovf = self._migrate(state)
+
+        send_idx, send_mask, halo_ovf = self._halo_membership(state)
+        gfields = self._gather_send(state, send_idx, send_mask)
+        gmeta = {}
+        for f in ("scale", "shtype", "tag"):
+            vals = getattr(state, f)[send_idx]
+            fr = self._ring_shift(vals[: self.halo_cap], "left")
+            fl = self._ring_shift(vals[self.halo_cap:], "right")
+            gmeta[f] = jnp.concatenate([fl, fr], axis=0)
+        # I receive: from LEFT neighbor's right-send, from RIGHT's left-send.
+        g_active = jnp.concatenate([
+            self._ring_shift(send_mask[self.halo_cap:], "right"),
+            self._ring_shift(send_mask[: self.halo_cap], "left"),
+        ])
+        ghosts = GhostPack(
+            x=gfields["x"], v=gfields["v"], q=gfields["q"],
+            angmom=gfields["angmom"], scale=gmeta["scale"],
+            shtype=gmeta["shtype"], tag=gmeta["tag"], active=g_active,
+            send_idx=send_idx, send_mask=send_mask,
+        )
+
+        ext = self._extend(state, ghosts)
+        slab_lo = state.box_lo[0] + idx * self.slab_w
+        bin_lo = jnp.stack([
+            slab_lo - self.halo_depth, state.box_lo[1], state.box_lo[2]
+        ])
+        bin_hi = jnp.stack([
+            slab_lo + self.slab_w + self.halo_depth,
+            state.box_hi[1], state.box_hi[2],
+        ])
+        cutoff = self.params.cutoff + self.params.skin
+        owned = self._owned_mask()
+        nidx, nmask, count, cell_ovf = neighbor.cell_list_neighbors(
+            ext.x, ext.active, state.box_lo, state.box_hi, cutoff,
+            self.grid_dims, self.cell_cap, self.k_max, self.periodic_eff,
+            bin_lo=bin_lo, bin_hi=bin_hi, owned=owned & ext.active,
+        )
+        neigh_tag = jnp.where(nmask, ext.tag[nidx], 0)
+        row_ok = neigh.row_tag == ext.tag
+        hist = neighbor.remap_history(
+            neigh_tag, nmask, neigh.neigh_tag, neigh.mask, neigh.hist, row_ok
+        )
+        overflow = jnp.maximum(
+            jnp.maximum(jnp.max(count), cell_ovf),
+            jnp.maximum(mig_ovf, halo_ovf),
+        )
+        overflow = jax.lax.pmax(overflow, "x")
+        neigh = neigh.replace(
+            idx=nidx, mask=nmask, hist=hist, neigh_tag=neigh_tag,
+            row_tag=ext.tag, x_build=ext.x,
+            overflow=jnp.maximum(neigh.overflow, overflow),
+        )
+        return state, neigh, ghosts
+
+    def _forward_comm(self, state: State, neigh: NeighborState,
+                      ghosts: GhostPack):
+        g = self._gather_send(state, ghosts.send_idx, ghosts.send_mask)
+        return state, neigh, ghosts.replace(
+            x=g["x"], v=g["v"], q=g["q"], angmom=g["angmom"]
+        )
+
+    def _forces(self, state: State, neigh: NeighborState, ghosts: GhostPack):
+        ext = self._extend(state, ghosts)
+        owned = self._owned_mask() & ext.active
+        f, tau, hist, pe_pair, virial, n_cand = contact.contact_force_compact(
+            ext, self.shapes, self.params, neigh,
+            pair_cap=self.pair_capacity, exact=self.exact_eval,
+            periodic=self.periodic_eff, chunk=self.pair_chunk, owned=owned,
+        )
+        neigh = neigh.replace(
+            hist=hist,
+            overflow=jnp.maximum(
+                neigh.overflow,
+                jax.lax.pmax(
+                    jnp.where(n_cand > self.pair_capacity, n_cand, 0), "x"
+                ),
+            ),
+        )
+        f = f[: self.cap_local]
+        tau = tau[: self.cap_local]
+
+        pe_wall = jnp.zeros((), f.dtype)
+        wall_hists = []
+        for w_i, wall in enumerate(self.walls):
+            wf, wt, whist, wpe = walls_mod.wall_contact(
+                state, self.shapes, self.params, wall,
+                neigh.wall_hist[: self.cap_local, w_i],
+            )
+            f = f + wf
+            tau = tau + wt
+            pe_wall = pe_wall + jnp.sum(wpe)
+            wall_hists.append(whist)
+        if wall_hists:
+            wh = jnp.stack(wall_hists, axis=1)
+            neigh = neigh.replace(
+                wall_hist=neigh.wall_hist.at[: self.cap_local].set(wh)
+            )
+        m = self.shapes.mass_of(state.shtype, state.scale)
+        f = f + jnp.where(
+            state.active[:, None], m[:, None] * self.params.gravity[None, :], 0.0
+        )
+        state = state.replace(f=f, tau=tau)
+        aux = {"pe_pair": pe_pair, "pe_wall": pe_wall, "virial": virial}
+        return state, neigh, aux
+
+    def _local_step(self, state: State, neigh: NeighborState,
+                    ghosts: GhostPack):
+        state = integrate.initial_integrate(state, self.shapes, self.params)
+        disp2 = neighbor.max_displacement2(
+            state.x, neigh.x_build[: self.cap_local], state.active,
+            state.box_lo, state.box_hi, self.periodic,
+        )
+        disp2 = jax.lax.pmax(disp2, "x")
+        need = disp2 > (0.5 * self.params.skin) ** 2
+        state, neigh, ghosts = jax.lax.cond(
+            need,
+            lambda args: self._rebuild(*args),
+            lambda args: self._forward_comm(*args),
+            (state, neigh, ghosts),
+        )
+        state, neigh, aux = self._forces(state, neigh, ghosts)
+        state = integrate.final_integrate(state, self.shapes, self.params)
+        return state, neigh, ghosts, aux
+
+    # -- public jitted entry points -----------------------------------------
+
+    def init(self, state_global: State):
+        """Distribute + first rebuild (Verlet::setup analogue)."""
+        state, neigh, ghosts = self.distribute(state_global)
+        return _init_jit(self, state, neigh, ghosts)
+
+    def run(self, state, neigh, ghosts, n_steps: int):
+        return _run_jit(self, state, neigh, ghosts, n_steps)
+
+    def thermo(self, state, neigh, ghosts) -> dict:
+        return _thermo_jit(self, state, neigh, ghosts)
+
+    def gather_global(self, state) -> State:
+        """Collect the sharded state into one host-side State (dump/restart)."""
+        return jax.tree.map(lambda a: jax.device_get(a), state)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@partial(jax.jit, static_argnames=("sim",))
+def _init_jit(sim: ShardedSimulation, state, neigh, ghosts):
+    def body(state, neigh, ghosts):
+        state, neigh, ghosts = sim._rebuild(state, neigh, ghosts)
+        state, neigh, _ = sim._forces(state, neigh, ghosts)
+        return state, neigh, ghosts
+
+    args = (state, neigh, ghosts)
+    return jax.shard_map(
+        body, mesh=sim.mesh,
+        in_specs=sim._specs(args), out_specs=sim._specs(args),
+        check_vma=False,
+    )(*args)
+
+
+@partial(jax.jit, static_argnames=("sim", "n_steps"))
+def _run_jit(sim: ShardedSimulation, state, neigh, ghosts, n_steps: int):
+    def body(state, neigh, ghosts):
+        def one(carry, _):
+            s, n, g = carry
+            s, n, g, _ = sim._local_step(s, n, g)
+            return (s, n, g), None
+
+        (state, neigh, ghosts), _ = jax.lax.scan(
+            one, (state, neigh, ghosts), None, length=n_steps
+        )
+        return state, neigh, ghosts
+
+    args = (state, neigh, ghosts)
+    return jax.shard_map(
+        body, mesh=sim.mesh,
+        in_specs=sim._specs(args), out_specs=sim._specs(args),
+        check_vma=False,
+    )(*args)
+
+
+@partial(jax.jit, static_argnames=("sim",))
+def _thermo_jit(sim: ShardedSimulation, state, neigh, ghosts):
+    def body(state, neigh, ghosts):
+        state, neigh, aux = sim._forces(state, neigh, ghosts)
+        ke_t, ke_r = integrate.kinetic_energy(state, sim.shapes)
+        m = sim.shapes.mass_of(state.shtype, state.scale)
+        pe_grav = -jnp.sum(
+            jnp.where(
+                state.active,
+                m * jnp.sum(sim.params.gravity[None, :] * state.x, axis=-1),
+                0.0,
+            )
+        )
+        kin_tensor = jnp.einsum(
+            "n,na,nb->ab", jnp.where(state.active, m, 0.0), state.v, state.v
+        )
+        scalars = {
+            "n": jnp.sum(state.active.astype(jnp.int32)),
+            "ke": ke_t, "erot": ke_r,
+            "pe_pair": aux["pe_pair"], "pe_wall": aux["pe_wall"],
+            "pe_grav": pe_grav,
+        }
+        scalars = {k: jax.lax.psum(v, "x") for k, v in scalars.items()}
+        kin_tensor = jax.lax.psum(kin_tensor, "x")
+        virial = jax.lax.psum(aux["virial"], "x")
+        vol_box = jnp.prod(state.box_hi - state.box_lo)
+        stress = (kin_tensor + virial) / vol_box
+        scalars["etot"] = (
+            scalars["ke"] + scalars["erot"] + scalars["pe_pair"]
+            + scalars["pe_wall"] + scalars["pe_grav"]
+        )
+        scalars["press"] = jnp.trace(stress) / 3.0
+        scalars["stress"] = stress
+        scalars["step"] = state.step
+        scalars["neigh_overflow"] = jax.lax.pmax(neigh.overflow, "x")
+        return scalars
+
+    args = (state, neigh, ghosts)
+    return jax.shard_map(
+        body, mesh=sim.mesh, in_specs=sim._specs(args),
+        out_specs=P(), check_vma=False,
+    )(*args)

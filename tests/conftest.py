@@ -16,5 +16,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin force-prepends itself to jax_platforms at import,
+# overriding the env var — pin CPU explicitly after import.
+jax.config.update("jax_platforms", "cpu")
+
 # x64 available for float64 oracles; engine code pins f32 explicitly.
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, "virtual 8-device CPU mesh expected"

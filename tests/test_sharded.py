@@ -1,0 +1,130 @@
+"""Sharded == single-device equivalence on a virtual 8-device CPU mesh
+(config 5 groundwork, BASELINE.json:11; SURVEY.md 4.2 "multi-node without
+a cluster")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from spherharm_tpu.core.simulation import Simulation
+from spherharm_tpu.core.state import SimParams
+from spherharm_tpu.models import scenarios, shapes_library
+from spherharm_tpu.ops.neighbor import CellGrid
+from spherharm_tpu.parallel.halo import ShardedSimulation
+
+
+def _setup(n=96, lmax=2, seed=0, dtype=jnp.float32):
+    """Periodic box of ellipsoids with random velocities (gas-like)."""
+    rng = np.random.default_rng(seed)
+    shapes = shapes_library.build_shapes(
+        [shapes_library.ellipsoid_coeffs(0.55, 0.45, 0.4, lmax)],
+        lmax, contact_quad=(6, 12), dtype=dtype,
+    )
+    box = 8.0
+    # Lattice spacing > diameter: non-overlapping start.
+    side = int(np.ceil(n ** (1 / 3)))
+    pitch = box / side
+    pts = []
+    for i in range(n):
+        cx, cy, cz = i % side, (i // side) % side, i // side**2
+        pts.append([(cx + 0.5) * pitch, (cy + 0.5) * pitch, (cz + 0.5) * pitch])
+    x = np.asarray(pts) + rng.uniform(-0.08, 0.08, (n, 3))
+    v = rng.normal(size=(n, 3)) * 0.5
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    params = SimParams.create(
+        dt=1e-3, kn=1e4, gamma_n=5.0, mu=0.3,
+        cutoff=1.2, skin=0.3, dtype=dtype,
+    )
+    state = scenarios.make_state(
+        x, [0, 0, 0], [box, box, box], v=v, q=q, dtype=dtype
+    )
+    return shapes, params, state, box
+
+
+def test_sharded_matches_single_device():
+    n_dev = 4
+    shapes, params, state0, box = _setup()
+    periodic = (True, True, True)
+
+    # Single-device reference.
+    grid = CellGrid([0, 0, 0], [box, box, box], 1.5, periodic)
+    sim1 = Simulation(
+        shapes, params, periodic=periodic, neighbor_mode="cell",
+        grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+    )
+    s1, n1 = sim1.init_neighbors(state0)
+    s1, n1 = sim1.run(s1, n1, 120)
+    t1 = sim1.thermo(s1, n1)
+
+    # Sharded run.
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    sim8 = ShardedSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0), box_hi=(box, box, box),
+        cap_local=96, halo_cap=64, migrate_cap=32,
+        periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+    )
+    s8, ng8, gh8 = sim8.init(state0)
+    s8, ng8, gh8 = sim8.run(s8, ng8, gh8, 120)
+    t8 = sim8.thermo(s8, ng8, gh8)
+    assert int(t8["neigh_overflow"]) <= max(24, 64)
+
+    # Compare per-tag positions/velocities.
+    def by_tag(state):
+        tags = np.asarray(state.tag)
+        act = np.asarray(state.active)
+        order = {}
+        for field in ("x", "v", "q", "angmom"):
+            arr = np.asarray(getattr(state, field))
+            order[field] = {int(t): arr[i] for i, t in enumerate(tags) if act[i]}
+        return order
+
+    a, b = by_tag(s1), by_tag(s8)
+    assert set(a["x"].keys()) == set(b["x"].keys())
+    for t in a["x"]:
+        np.testing.assert_allclose(a["x"][t], b["x"][t], atol=2e-3,
+                                   err_msg=f"x mismatch tag {t}")
+        np.testing.assert_allclose(a["v"][t], b["v"][t], atol=5e-3,
+                                   err_msg=f"v mismatch tag {t}")
+    # Thermo parity.
+    assert float(t8["ke"]) == pytest.approx(float(t1["ke"]), rel=1e-3)
+    assert float(t8["etot"]) == pytest.approx(float(t1["etot"]), rel=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(t8["stress"]), np.asarray(t1["stress"]),
+        rtol=2e-2, atol=1e-3,
+    )
+
+
+def test_migration_preserves_particles():
+    """Drive particles across slab boundaries; none lost or duplicated."""
+    n_dev = 4
+    shapes, params, state0, box = _setup(n=64, seed=2)
+    # Strong x-drift so slabs are crossed quickly.
+    v = np.array(state0.v)
+    v[:, 0] += 2.0
+    state0 = state0.replace(v=jnp.asarray(v, jnp.float32))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    sim = ShardedSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0), box_hi=(box, box, box),
+        cap_local=64, halo_cap=48, migrate_cap=32,
+        periodic=(True, True, True), k_max=24, cell_cap=12,
+        pair_capacity=512,
+    )
+    s, ng, gh = sim.init(state0)
+    tags0 = sorted(
+        int(t) for t, a in zip(np.asarray(s.tag), np.asarray(s.active)) if a
+    )
+    for _ in range(6):
+        s, ng, gh = sim.run(s, ng, gh, 100)
+    tags1 = sorted(
+        int(t) for t, a in zip(np.asarray(s.tag), np.asarray(s.active)) if a
+    )
+    assert tags0 == tags1 == list(range(1, 65))
+    assert int(ng.overflow) < 512
+    # Particles did spread across shards: each shard owns some.
+    # (positions may drift slightly past edges between rebuilds -> clip)
+    slab = np.clip(np.asarray(s.x)[:, 0] // (box / n_dev), 0, n_dev - 1)
+    act = np.asarray(s.active)
+    assert len({int(v) for v in slab[act]}) == n_dev

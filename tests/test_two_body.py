@@ -66,7 +66,7 @@ def test_damped_restitution_monotonic():
 def test_oblique_collision_conserves_angular_momentum():
     sim, state, neigh = scenarios.two_body_collision(gamma_n=0.0, dt=2e-4)
     # Offset impact parameter in y: glancing collision.
-    x = np.asarray(state.x)
+    x = np.array(state.x)
     x[:, 1] = [0.15, -0.15]
     state = state.replace(x=jnp.asarray(x, jnp.float32))
     state, neigh = sim.init_neighbors(state)
