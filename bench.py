@@ -1,0 +1,75 @@
+"""Throughput benchmark: config 4 rotating drum (BASELINE.json:10).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N}. Metric is particle-steps/sec at Lmax=8 (the
+driver-set primary metric, BASELINE.json:2).
+
+vs_baseline: the reference fork publishes no numbers (BASELINE.md) and
+its code is not yet mounted, so the denominator is the order-of-
+magnitude CPU-DEM estimate recorded in SURVEY.md section 6 (2e4
+particle-steps/s/core for expensive non-spherical contact); replace
+with the measured CPU-LAMMPS figure when the reference becomes
+buildable. The task target is >= 50x that baseline.
+
+Env knobs: BENCH_N (default 100000), BENCH_LMAX (8), BENCH_STEPS (200).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+CPU_LAMMPS_BASELINE_EST = 2.0e4  # particle-steps/s, SURVEY.md section 6
+
+
+def main():
+    import jax
+
+    from spherharm_tpu.models import scenarios
+
+    n = int(os.environ.get("BENCH_N", 100_000))
+    lmax = int(os.environ.get("BENCH_LMAX", 8))
+    n_steps = int(os.environ.get("BENCH_STEPS", 200))
+
+    t0 = time.time()
+    sim, state, neigh = scenarios.rotating_drum(
+        n=n, lmax=lmax,
+        pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", 65536)),
+        k_max=24,
+    )
+    setup_s = time.time() - t0
+    print(f"# setup {setup_s:.1f}s  n={n} lmax={lmax} "
+          f"grid={sim.grid.dims} pair_cap={sim.pair_capacity}",
+          file=sys.stderr)
+
+    # Warm up / compile (includes a rebuild step in the traced graph).
+    t0 = time.time()
+    state, neigh = sim.run(state, neigh, 5)
+    jax.block_until_ready(state.x)
+    print(f"# compile+5 steps {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    state, neigh = sim.run(state, neigh, n_steps)
+    jax.block_until_ready(state.x)
+    wall = time.time() - t0
+    ps_per_s = n * n_steps / wall
+    overflow = int(neigh.overflow)
+    therm = sim.thermo(state, neigh)
+    print(
+        f"# {n_steps} steps in {wall:.2f}s; overflow={overflow} "
+        f"etot={float(therm['etot']):.6g}",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": f"particle-steps/sec, {n} Lmax={lmax} rotating drum, 1 chip",
+        "value": round(ps_per_s, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(ps_per_s / CPU_LAMMPS_BASELINE_EST, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

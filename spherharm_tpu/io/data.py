@@ -29,7 +29,7 @@ def write_coeff_file(path, coeffs, lmax: int):
             for m in range(-n, n + 1):
                 v = coeffs[sh_index(n, m)]
                 if v != 0.0:
-                    f.write(f"{n} {m} {v!r}\n")
+                    f.write(f"{n} {m} {float(v):.17g}\n")
 
 
 def read_coeff_file(path):
@@ -67,21 +67,21 @@ def write_data_file(path, state, periodic=(False, False, False)):
         f.write("# spherharm_tpu data file\n\n")
         f.write(f"{len(sel)} atoms\n")
         f.write(f"{int(typ.max()) if len(sel) else 1} atom types\n\n")
-        f.write(f"{lo[0]!r} {hi[0]!r} xlo xhi\n")
-        f.write(f"{lo[1]!r} {hi[1]!r} ylo yhi\n")
-        f.write(f"{lo[2]!r} {hi[2]!r} zlo zhi\n\n")
+        f.write(f"{float(lo[0]):.9g} {float(hi[0]):.9g} xlo xhi\n")
+        f.write(f"{float(lo[1]):.9g} {float(hi[1]):.9g} ylo yhi\n")
+        f.write(f"{float(lo[2]):.9g} {float(hi[2]):.9g} zlo zhi\n\n")
         f.write("Atoms\n\n")
         for i in range(len(sel)):
             f.write(
-                f"{tag[i]} {typ[i]} {scale[i]!r} "
-                f"{x[i,0]!r} {x[i,1]!r} {x[i,2]!r} "
-                f"{q[i,0]!r} {q[i,1]!r} {q[i,2]!r} {q[i,3]!r}\n"
+                f"{tag[i]} {typ[i]} {scale[i]:.9g} "
+                f"{x[i,0]:.9g} {x[i,1]:.9g} {x[i,2]:.9g} "
+                f"{q[i,0]:.9g} {q[i,1]:.9g} {q[i,2]:.9g} {q[i,3]:.9g}\n"
             )
         f.write("\nVelocities\n\n")
         for i in range(len(sel)):
             f.write(
-                f"{tag[i]} {v[i,0]!r} {v[i,1]!r} {v[i,2]!r} "
-                f"{L[i,0]!r} {L[i,1]!r} {L[i,2]!r}\n"
+                f"{tag[i]} {v[i,0]:.9g} {v[i,1]:.9g} {v[i,2]:.9g} "
+                f"{L[i,0]:.9g} {L[i,1]:.9g} {L[i,2]:.9g}\n"
             )
 
 
