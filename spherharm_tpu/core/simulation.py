@@ -181,6 +181,10 @@ class Simulation:
 
     def step(self, state: State, neigh: NeighborState):
         state = integrate.initial_integrate(state, self.shapes, self.params)
+        state, x_build = integrate.apply_deformation(
+            state, neigh.x_build, self.params
+        )
+        neigh = neigh.replace(x_build=x_build)
         state, neigh = self._maybe_rebuild(state, neigh)
         state, neigh, _ = self.compute_forces(state, neigh)
         state = integrate.final_integrate(state, self.shapes, self.params)
@@ -189,6 +193,17 @@ class Simulation:
     def run(self, state: State, neigh: NeighborState, n_steps: int):
         """Scan ``n_steps`` integration steps (jit-compiled once)."""
         return _run_jit(self, state, neigh, n_steps)
+
+    def run_inline(self, state: State, neigh: NeighborState, n_steps: int):
+        """Traceable scan runner (for use under vmap/jit of the caller)."""
+
+        def body(carry, _):
+            return self.step(*carry), None
+
+        (state, neigh), _ = jax.lax.scan(
+            body, (state, neigh), None, length=n_steps
+        )
+        return state, neigh
 
     # -- observables --------------------------------------------------------
 

@@ -148,10 +148,13 @@ class SimParams:
     gravity: jax.Array       # [3]
     skin: jax.Array          # Verlet skin distance
     cutoff: jax.Array        # neighbor cutoff = 2*max(rmax*scale) (+ margin)
+    deform_rate: jax.Array   # [3] diagonal engineering strain rate (fix
+                             # deform analogue; triaxial cell of config 5)
 
     @classmethod
     def create(cls, dt, kn, kt=None, gamma_n=0.0, gamma_t=None, mu=0.5,
-               gravity=(0.0, 0.0, 0.0), skin=0.0, cutoff=1.0, dtype=jnp.float32):
+               gravity=(0.0, 0.0, 0.0), skin=0.0, cutoff=1.0,
+               deform_rate=(0.0, 0.0, 0.0), dtype=jnp.float32):
         if kt is None:
             kt = 2.0 / 7.0 * kn
         if gamma_t is None:
@@ -161,6 +164,7 @@ class SimParams:
             dt=f(dt), kn=f(kn), kt=f(kt), gamma_n=f(gamma_n),
             gamma_t=f(gamma_t), mu=f(mu), gravity=f(jnp.asarray(gravity)),
             skin=f(skin), cutoff=f(cutoff),
+            deform_rate=f(jnp.asarray(deform_rate)),
         )
 
 

@@ -54,26 +54,41 @@ def _column_data(state, shapes, columns):
 
 def write_dump(path, state, shapes, periodic=(False, False, False),
                columns=DEFAULT_COLUMNS, append=False):
-    """Write one snapshot in LAMMPS dump custom text format."""
+    """Write one snapshot in LAMMPS dump custom text format.
+
+    Row formatting goes through the native C++ formatter when available
+    (spherharm_tpu.native — the reference keeps this path in C++ too);
+    falls back to pure Python transparently.
+    """
+    from spherharm_tpu import native
+
     cols = _column_data(state, shapes, columns)
     n = len(cols[columns[0]])
     lo = np.asarray(state.box_lo)
     hi = np.asarray(state.box_hi)
     bflags = " ".join("pp" if p else "ff" for p in periodic)
-    mode = "a" if append else "w"
-    with open(path, mode) as f:
-        f.write("ITEM: TIMESTEP\n%d\n" % int(state.step))
-        f.write("ITEM: NUMBER OF ATOMS\n%d\n" % n)
-        f.write("ITEM: BOX BOUNDS %s\n" % bflags)
-        for d in range(3):
-            f.write("%.9g %.9g\n" % (lo[d], hi[d]))
-        f.write("ITEM: ATOMS %s\n" % " ".join(columns))
-        mat = np.stack([cols[c] for c in columns], axis=1)
+    header = "ITEM: TIMESTEP\n%d\n" % int(state.step)
+    header += "ITEM: NUMBER OF ATOMS\n%d\n" % n
+    header += "ITEM: BOX BOUNDS %s\n" % bflags
+    for d in range(3):
+        header += "%.9g %.9g\n" % (lo[d], hi[d])
+    header += "ITEM: ATOMS %s\n" % " ".join(columns)
+    mat = np.stack([cols[c] for c in columns], axis=1)
+    int_mask = np.asarray(
+        [1 if c in ("id", "type") else 0 for c in columns], np.int32
+    )
+    mode = "ab" if append else "wb"
+    blob = native.format_dump_rows(mat, int_mask, header)
+    if blob is None:
+        lines = [header]
         for row in mat:
-            f.write(" ".join(
+            lines.append(" ".join(
                 str(int(v)) if c in ("id", "type") else "%.8g" % v
                 for c, v in zip(columns, row)
             ) + "\n")
+        blob = "".join(lines).encode()
+    with open(path, mode) as f:
+        f.write(blob)
 
 
 def read_dump(path):

@@ -257,6 +257,94 @@ def rotating_drum(
     return sim, state, neigh
 
 
+def triaxial_cell(
+    n: int = 512,
+    lmax: int = 4,
+    mean_radius: float = 0.5,
+    fill_fraction: float = 0.35,
+    strain_rate=(-0.05, -0.05, -0.05),
+    kn: float = 1.0e5,
+    gamma_n: float = 50.0,
+    mu: float = 0.4,
+    dt: float = 1.0e-4,
+    seed: int = 0,
+    k_max: int = 32,
+    n_shape_types: int = 2,
+    deform_min: float = 0.6,
+    dtype=jnp.float32,
+    sharded: bool = False,
+    mesh=None,
+    cap_local: int = 0,
+    halo_cap: int = 0,
+):
+    """Config 5: triaxial shear cell with periodic boundaries and
+    stress-tensor output (BASELINE.json:11). Diagonal strain-rate control
+    compresses the cell; the stress tensor comes from the kinetic +
+    virial sums in thermo. ``sharded=True`` builds the multi-chip
+    variant (halo exchange via lax collectives) on the given mesh.
+    """
+    rng = np.random.default_rng(seed)
+    coeffs = np.stack([
+        shapes_library.blob_coeffs(
+            lmax, seed=seed + 100 + t, mean_radius=mean_radius, roughness=0.10
+        )
+        for t in range(n_shape_types)
+    ])
+    shapes = shapes_library.build_shapes(coeffs, lmax, density=1.0,
+                                         dtype=dtype)
+    rmax = float(jnp.max(shapes.rmax))
+
+    # Cubic periodic cell sized for the target initial solid fraction.
+    vol_mean = float(jnp.mean(shapes.vol))
+    box = (n * vol_mean / fill_fraction) ** (1 / 3)
+    side = int(np.ceil(n ** (1 / 3)))
+    pitch = box / side
+    if pitch < 2.0 * rmax:
+        raise ValueError("fill_fraction too high for non-overlapping start")
+    pts = []
+    for i in range(n):
+        cx, cy, cz = i % side, (i // side) % side, i // side**2
+        pts.append([(cx + 0.5) * pitch, (cy + 0.5) * pitch, (cz + 0.5) * pitch])
+    x = np.asarray(pts) + rng.uniform(-0.05, 0.05, (n, 3)) * rmax
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    v = rng.normal(size=(n, 3)) * 0.05
+    shtype = rng.integers(0, n_shape_types, n)
+
+    params = SimParams.create(
+        dt=dt, kn=kn, gamma_n=gamma_n, mu=mu,
+        skin=0.4 * rmax, cutoff=2.0 * rmax,
+        deform_rate=strain_rate, dtype=dtype,
+    )
+    state = make_state(x, [0, 0, 0], [box, box, box], v=v, q=q,
+                       shtype=shtype, dtype=dtype)
+    periodic = (True, True, True)
+    if sharded:
+        from spherharm_tpu.parallel.halo import ShardedSimulation
+
+        n_dev = mesh.devices.size
+        sim = ShardedSimulation(
+            shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+            box_hi=(box, box, box),
+            cap_local=cap_local or max(4 * n // n_dev, 64),
+            halo_cap=halo_cap or max(2 * n // n_dev, 64),
+            periodic=periodic, k_max=k_max, cell_cap=12,
+            pair_capacity=max(12 * n // n_dev, 256),
+            deform_min=deform_min,
+        )
+        st, ng, gh = sim.init(state)
+        return sim, st, ng, gh
+    grid = CellGrid(
+        [0, 0, 0], [box * deform_min] * 3, 2.4 * rmax, periodic
+    )
+    sim = Simulation(
+        shapes, params, periodic=periodic, neighbor_mode="cell", grid=grid,
+        k_max=k_max, cell_cap=16, pair_capacity=max(12 * n, 512),
+    )
+    st, ng = sim.init_neighbors(state)
+    return sim, st, ng
+
+
 def deposition(
     n: int = 10_000,
     lmax: int = 8,

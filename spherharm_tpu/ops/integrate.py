@@ -70,6 +70,25 @@ def final_integrate(state, shapes, params):
     return state.replace(v=v, angmom=angmom)
 
 
+def apply_deformation(state, x_build, params):
+    """Affine box deformation about the box center (fix deform analogue).
+
+    Diagonal strain-rate control for the triaxial shear cell (config 5,
+    BASELINE.json:11): box edges and ALL positions (including the
+    neighbor-build reference positions, so no spurious skin triggers)
+    are remapped by (1 + rate*dt) each step. A zero rate is an exact
+    no-op.
+    """
+    factor = 1.0 + params.deform_rate * params.dt  # [3]
+    center = 0.5 * (state.box_lo + state.box_hi)
+    state = state.replace(
+        x=center + (state.x - center) * factor,
+        box_lo=center + (state.box_lo - center) * factor,
+        box_hi=center + (state.box_hi - center) * factor,
+    )
+    return state, center + (x_build - center) * factor
+
+
 def kinetic_energy(state, shapes):
     """Translational + rotational KE (masked)."""
     m = shapes.mass_of(state.shtype, state.scale)

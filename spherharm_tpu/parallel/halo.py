@@ -118,6 +118,7 @@ class ShardedSimulation:
         pair_chunk: int = 16384,
         walls: tuple = (),
         exact_eval: bool = False,
+        deform_min: float = 1.0,
     ):
         self.shapes = shapes
         self.params = params
@@ -151,8 +152,13 @@ class ShardedSimulation:
         bin_hi = np.array(
             [self.slab_w + self.halo_depth, self.box_hi_np[1], self.box_hi_np[2]]
         )
+        # Size the static grid for the SMALLEST box the run will see
+        # (deform_min < 1 when the triaxial cell compresses), so cells
+        # never shrink below cutoff+skin.
         dims = np.maximum(
-            np.floor((bin_hi - bin_lo) / cutoff_total).astype(int), 1
+            np.floor(float(deform_min) * (bin_hi - bin_lo) / cutoff_total)
+            .astype(int),
+            1,
         )
         self.grid_dims = tuple(int(v) for v in dims)
         # Periodicity for pair math: x images are explicit ghosts.
@@ -253,12 +259,16 @@ class ShardedSimulation:
             perm = [(i, (i + 1) % P_) for i in range(P_)]
         return jax.lax.ppermute(val, "x", perm)
 
-    def _seam_shifts(self, idx):
+    def _seam_shifts(self, idx, state):
         """x-shift a SENT particle gets (periodic seam unwrap)."""
-        Lx = (self.box_hi_np - self.box_lo_np)[0]
+        Lx = state.box_hi[0] - state.box_lo[0]
         left_send = jnp.where(idx == 0, Lx, 0.0)       # 0 -> P-1: x += Lx
         right_send = jnp.where(idx == self.n_shards - 1, -Lx, 0.0)
-        return left_send.astype(jnp.float32), right_send.astype(jnp.float32)
+        return (left_send.astype(state.x.dtype),
+                right_send.astype(state.x.dtype))
+
+    def _slab_w_dyn(self, state):
+        return (state.box_hi[0] - state.box_lo[0]) / self.n_shards
 
     def _has_left(self, idx):
         return self.periodic[0] | (idx > 0)
@@ -269,7 +279,7 @@ class ShardedSimulation:
     def _gather_send(self, state, send_idx, send_mask):
         """Gather + ship forward-comm fields; returns ghost field dict."""
         idx = jax.lax.axis_index("x")
-        sl, sr = self._seam_shifts(idx)
+        sl, sr = self._seam_shifts(idx, state)
         H = self.halo_cap
         out = {}
         for f in ("x", "v", "q", "angmom"):
@@ -284,8 +294,9 @@ class ShardedSimulation:
     def _halo_membership(self, state):
         """Select owned particles within halo_depth of each slab face."""
         idx = jax.lax.axis_index("x")
-        slab_lo = state.box_lo[0] + idx * self.slab_w
-        slab_hi = slab_lo + self.slab_w
+        slab_w = self._slab_w_dyn(state)
+        slab_lo = state.box_lo[0] + idx * slab_w
+        slab_hi = slab_lo + slab_w
         near_l = state.active & (state.x[:, 0] < slab_lo + self.halo_depth)
         near_r = state.active & (state.x[:, 0] >= slab_hi - self.halo_depth)
         near_l = near_l & self._has_left(idx)
@@ -303,7 +314,7 @@ class ShardedSimulation:
         M = self.migrate_cap
         tgt = jnp.clip(
             jnp.floor(
-                (state.x[:, 0] - state.box_lo[0]) / self.slab_w
+                (state.x[:, 0] - state.box_lo[0]) / self._slab_w_dyn(state)
             ).astype(jnp.int32),
             0, self.n_shards - 1,
         )
@@ -315,7 +326,7 @@ class ShardedSimulation:
         ir, vr = _select_fill(go_right, M)
         mig_overflow = jnp.maximum(jnp.sum(go_left), jnp.sum(go_right))
 
-        sl, sr = self._seam_shifts(idx)
+        sl, sr = self._seam_shifts(idx, state)
         bufs = {}
         for f in COMM_FIELDS:
             arr = getattr(state, f)
@@ -411,12 +422,13 @@ class ShardedSimulation:
         )
 
         ext = self._extend(state, ghosts)
-        slab_lo = state.box_lo[0] + idx * self.slab_w
+        slab_w = self._slab_w_dyn(state)
+        slab_lo = state.box_lo[0] + idx * slab_w
         bin_lo = jnp.stack([
             slab_lo - self.halo_depth, state.box_lo[1], state.box_lo[2]
         ])
         bin_hi = jnp.stack([
-            slab_lo + self.slab_w + self.halo_depth,
+            slab_lo + slab_w + self.halo_depth,
             state.box_hi[1], state.box_hi[2],
         ])
         cutoff = self.params.cutoff + self.params.skin
@@ -497,6 +509,10 @@ class ShardedSimulation:
     def _local_step(self, state: State, neigh: NeighborState,
                     ghosts: GhostPack):
         state = integrate.initial_integrate(state, self.shapes, self.params)
+        state, x_build = integrate.apply_deformation(
+            state, neigh.x_build, self.params
+        )
+        neigh = neigh.replace(x_build=x_build)
         disp2 = neighbor.max_displacement2(
             state.x, neigh.x_build[: self.cap_local], state.active,
             state.box_lo, state.box_hi, self.periodic,

@@ -1,0 +1,53 @@
+"""Config 2 acceptance (BASELINE.json:8): ellipsoid-like particles
+settling under gravity with Hertz + Coulomb friction — packing fraction
+validation (scaled down for CI runtime)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from spherharm_tpu.core import computes
+from spherharm_tpu.models import scenarios
+
+
+def test_settling_packs_and_calms():
+    sim, state, neigh = scenarios.settling_box(
+        n=64, lmax=2, dt=2e-4, gamma_n=80.0, mu=0.3, k_max=24,
+    )
+    e_kin = []
+    for _ in range(12):
+        state, neigh = sim.run(state, neigh, 500)
+        e_kin.append(float(computes.mean_kinetic_energy(state, sim.shapes)))
+    # No particle lost, none through the floor/walls.
+    assert int(state.n_active) == 64
+    x = np.asarray(state.x)[np.asarray(state.active)]
+    rmax = float(sim.shapes.rmax[0])
+    assert x[:, 2].min() > -0.3 * rmax
+    lo = np.asarray(state.box_lo)
+    hi = np.asarray(state.box_hi)
+    assert (x[:, 0] > lo[0] - 0.3 * rmax).all()
+    assert (x[:, 0] < hi[0] + 0.3 * rmax).all()
+    # Kinetic energy decays: settled bed.
+    assert e_kin[-1] < 0.05 * max(e_kin[0], 1e-12) + 1e-4
+    # Packing fraction of the settled bed in the physical range:
+    # random loose/dense packing of frictional ellipsoids ~ 0.45-0.70.
+    phi = float(computes.packing_fraction_box(state, sim.shapes))
+    assert 0.30 < phi < 0.75, phi
+    # Neighbor machinery stayed within capacity.
+    assert int(neigh.overflow) <= sim.k_max + 60
+
+
+def test_settling_energy_is_dissipated_not_created():
+    sim, state, neigh = scenarios.settling_box(
+        n=27, lmax=2, dt=2e-4, gamma_n=80.0, mu=0.3, k_max=24,
+    )
+    t0 = sim.thermo(state, neigh)
+    e0 = float(t0["etot"])
+    emax = e0
+    for _ in range(6):
+        state, neigh = sim.run(state, neigh, 400)
+        e = float(sim.thermo(state, neigh)["etot"])
+        emax = max(emax, e)
+    # Damped granular system must not gain total energy (small quadrature
+    # tolerance allowed).
+    assert emax < e0 + 0.02 * abs(e0) + 1e-6
+    assert e < e0  # and must have dissipated by the end
