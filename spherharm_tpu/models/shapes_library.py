@@ -117,7 +117,7 @@ def build_shapes(
     lmax: int,
     density=1.0,
     contact_quad: tuple[int, int] | None = None,
-    table_res: tuple[int, int] = (64, 128),
+    table_res: tuple[int, int] = (96, 192),
     setup_quad_n: int = 48,
     dtype=jnp.float32,
 ) -> Shapes:

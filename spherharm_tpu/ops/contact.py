@@ -77,12 +77,8 @@ def eval_radius(shapes, types, theta, phi, exact: bool):
     bilinear lookup in the precomputed (r, dr_dt, dr_dp) tables.
     """
     if exact:
-        Y, dYt, dYp = sh_math.real_sh_basis_grad(theta, phi, shapes.lmax)
         c = shapes.coeffs[types]  # [P, NC]
-        r = jnp.einsum("pgc,pc->pg", Y, c)
-        drt = jnp.einsum("pgc,pc->pg", dYt, c)
-        drp = jnp.einsum("pgc,pc->pg", dYp, c)
-        return r, drt, drp
+        return sh_math.radius_grad_streaming(c, theta, phi, shapes.lmax)
     return sh_math.interp_radius_batched(shapes.table, types, theta, phi)
 
 

@@ -1,0 +1,447 @@
+"""Pallas-fused SH contact narrow phase — the hot kernel, hand-scheduled.
+
+One ``pallas_call`` evaluates the full both-sided cap-quadrature contact
+law (ops/contact.py docstring) for a block of B candidate pairs entirely
+in VMEM: cap construction, streaming ALP/Ylm radius+gradient evaluation
+(no [B, G, NC] basis tensor), containment integrals, Hertz + history
+friction, torque. Design notes:
+
+* all 3-vectors live as separate [B, G] (or [B, 1]) component planes —
+  every intermediate is a clean (sublane, lane) tile, no size-3 lanes
+  in the inner loop;
+* per-pair inputs arrive packed as one [B, F] row (single aligned load),
+  SH coefficient rows (pre-scaled by the particle scale factor) as
+  [B, NC] blocks;
+* the quadrature grid G should be a lane multiple (the default
+  (8, 16) cap grid = 128 nodes exactly fills the lanes);
+* outputs pack into [B, 12] (force, torque, new spring, pe, contact).
+
+The jnp reference implementation (ops/contact.py) stays the source of
+truth; tests pin this kernel against it.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spherharm_tpu.models.shapes_library import sh_index
+
+# Packed per-pair input layout [P, F].
+_F = 48  # padded width
+_SLOTS = {
+    "xi": (0, 3), "vi": (3, 6), "qi": (6, 10), "omi": (10, 13),
+    "mi": (13, 14), "rbi": (14, 15), "rmi": (15, 16), "rci": (16, 17),
+    "xj": (17, 20), "vj": (20, 23), "qj": (23, 27), "omj": (27, 30),
+    "mj": (30, 31), "rbj": (31, 32), "rmj": (32, 33), "rcj": (33, 34),
+    "hist": (34, 37), "mask": (37, 38), "d": (38, 41),
+}
+_NOUT = 16
+
+
+def _rot(q, v):
+    """Rotate component-tuple v by quaternion component-tuple q."""
+    w, x, y, z = q
+    vx, vy, vz = v
+    tx = 2.0 * (y * vz - z * vy)
+    ty = 2.0 * (z * vx - x * vz)
+    tz = 2.0 * (x * vy - y * vx)
+    return (
+        vx + w * tx + (y * tz - z * ty),
+        vy + w * ty + (z * tx - x * tz),
+        vz + w * tz + (x * ty - y * tx),
+    )
+
+
+def _rot_inv(q, v):
+    w, x, y, z = q
+    return _rot((w, -x, -y, -z), v)
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _radius_grad_stream(coef_ref, theta, phi, lmax: int):
+    """Streaming (r, dr/dt, dr/dp); coef_ref: [B, NC] ref, theta/phi [B, G]."""
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    inv_sin = 1.0 / jnp.maximum(jnp.abs(sin_t), 1e-6) * jnp.sign(sin_t + 1e-30)
+    sq2 = math.sqrt(2.0)
+
+    def coef(n, m):
+        return coef_ref[:, sh_index(n, m)][:, None]
+
+    r = jnp.zeros_like(theta)
+    drt = jnp.zeros_like(theta)
+    drp = jnp.zeros_like(theta)
+    c1, s1 = jnp.cos(phi), jnp.sin(phi)
+    cos_m = jnp.ones_like(phi)
+    sin_m = jnp.zeros_like(phi)
+    P_mm = jnp.full_like(cos_t, 1.0 / math.sqrt(4.0 * math.pi))
+    for m in range(0, lmax + 1):
+        if m > 0:
+            P_mm = math.sqrt((2 * m + 1) / (2 * m)) * sin_t * P_mm
+            cos_m, sin_m = (
+                cos_m * c1 - sin_m * s1,
+                sin_m * c1 + cos_m * s1,
+            )
+        P_nm1 = None
+        P_nm = P_mm
+        for n in range(m, lmax + 1):
+            if n > m:
+                if n == m + 1:
+                    P_new = math.sqrt(2 * m + 3) * cos_t * P_nm
+                else:
+                    a = math.sqrt((4 * n * n - 1) / (n * n - m * m))
+                    b = math.sqrt(
+                        ((2 * n + 1) / (2 * n - 3))
+                        * ((n - 1) ** 2 - m * m)
+                        / (n * n - m * m)
+                    )
+                    P_new = a * cos_t * P_nm - b * P_nm1
+                P_nm1, P_nm = P_nm, P_new
+            if n == 0:
+                dP = jnp.zeros_like(cos_t)
+            else:
+                term = n * cos_t * P_nm
+                if n - 1 >= m:
+                    e = math.sqrt((n * n - m * m) * (2 * n + 1) / (2 * n - 1))
+                    term = term - e * P_nm1
+                dP = term * inv_sin
+            if m == 0:
+                a0 = coef(n, 0)
+                r = r + a0 * P_nm
+                drt = drt + a0 * dP
+            else:
+                ac = sq2 * coef(n, m)
+                as_ = sq2 * coef(n, -m)
+                yc = P_nm * cos_m
+                ys = P_nm * sin_m
+                r = r + ac * yc + as_ * ys
+                drt = drt + (ac * cos_m + as_ * sin_m) * dP
+                drp = drp + m * (as_ * yc - ac * ys)
+    return r, drt, drp
+
+
+def _surface_normal(r, drt, drp, theta, phi):
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    inv_r = 1.0 / jnp.maximum(r, 1e-12)
+    inv_rs = inv_r / jnp.maximum(jnp.abs(st), 1e-6)
+    a = drt * inv_r
+    b = drp * inv_rs
+    nx = st * cp - a * ct * cp + b * sp
+    ny = st * sp - a * ct * sp - b * cp
+    nz = ct + a * st
+    inv_n = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    return nx * inv_n, ny * inv_n, nz * inv_n
+
+
+def _angles(ux, uy, uz):
+    theta = jnp.arccos(jnp.clip(uz, -1.0, 1.0))
+    phi = jnp.arctan2(uy, ux)
+    phi = jnp.where(phi < 0, phi + 2.0 * math.pi, phi)
+    return theta, phi
+
+
+def _probe(col, ci_or_cj, pre, side, cap, lmax):
+    """One-sided cap probe. side='ij' probes i's nodes into j.
+
+    col(name): [B,1] column getter; pre: dict of precomputed [B,1];
+    cap: (x, glw, cpsi, spsi) each [1, G]. Returns integrals (all [B,1])
+    and the probe point components rel to the probing center [B,G].
+    """
+    if side == "ij":
+        q_a, q_b = pre["qi"], pre["qj"]
+        c_a, c_b = ci_or_cj
+        rb_b = col("rbj")
+        rm_a, rb_a = col("rmi"), col("rbi")
+        dx, dy, dz = pre["d"]
+    else:
+        q_a, q_b = pre["qj"], pre["qi"]
+        c_b, c_a = ci_or_cj
+        rb_b = col("rbi")
+        rm_a, rb_a = col("rmj"), col("rbj")
+        dx, dy, dz = [-v for v in pre["d"]]
+
+    dist = pre["dist"]
+    inv_dist = pre["inv_dist"]
+    e_w = (dx * inv_dist, dy * inv_dist, dz * inv_dist)
+    e_b = _rot_inv(q_a, e_w)
+
+    rho_star = jnp.sqrt(jnp.maximum(dist * dist - rb_b * rb_b, 0.0))
+    rho_c = jnp.clip(rho_star, rm_a, rb_a)
+    cos_gmax = (rho_c * rho_c + dist * dist - rb_b * rb_b) / jnp.maximum(
+        2.0 * rho_c * dist, 1e-12
+    )
+    cos_gmax = jnp.clip(cos_gmax, -1.0, 1.0 - 1e-6)
+
+    cap_x, cap_glw, cap_cpsi, cap_spsi = cap
+    one_m = 1.0 - cos_gmax                       # [B,1]
+    cos_g = 1.0 - one_m * cap_x                  # [B,G]
+    sin_g = jnp.sqrt(jnp.maximum(1.0 - cos_g * cos_g, 0.0))
+
+    # Orthobasis around e_b.
+    ex, ey, ez = e_b
+    use_x = jnp.abs(ex) < 0.9
+    hx = jnp.where(use_x, 1.0, 0.0)
+    hy = jnp.where(use_x, 0.0, 1.0)
+    # t1 = normalize(e x h)
+    t1x = ey * 0.0 - ez * hy
+    t1y = ez * hx - ex * 0.0
+    t1z = ex * hy - ey * hx
+    inv_t1 = jax.lax.rsqrt(jnp.maximum(t1x * t1x + t1y * t1y + t1z * t1z, 1e-24))
+    t1x, t1y, t1z = t1x * inv_t1, t1y * inv_t1, t1z * inv_t1
+    t2x = ey * t1z - ez * t1y
+    t2y = ez * t1x - ex * t1z
+    t2z = ex * t1y - ey * t1x
+
+    sc = sin_g * cap_cpsi
+    ss = sin_g * cap_spsi
+    dirx = cos_g * ex + sc * t1x + ss * t2x
+    diry = cos_g * ey + sc * t1y + ss * t2y
+    dirz = cos_g * ez + sc * t1z + ss * t2z
+
+    th_a, ph_a = _angles(dirx, diry, dirz)
+    r_a, drt_a, drp_a = _radius_grad_stream(c_a, th_a, ph_a, lmax)
+    na = _surface_normal(r_a, drt_a, drp_a, th_a, ph_a)
+    cos_incl = jnp.clip(dirx * na[0] + diry * na[1] + dirz * na[2], 0.05, 1.0)
+    w_solid = one_m * cap_glw
+    dA = w_solid * r_a * r_a / cos_incl
+
+    # Probe points relative to the probing center, world frame.
+    rel = _rot(q_a, (r_a * dirx, r_a * diry, r_a * dirz))
+    # Into the target's body frame.
+    u = _rot_inv(q_b, (rel[0] - dx, rel[1] - dy, rel[2] - dz))
+    rho = jnp.sqrt(
+        jnp.maximum(u[0] * u[0] + u[1] * u[1] + u[2] * u[2], 1e-24)
+    )
+    inv_rho = 1.0 / rho
+    th_b, ph_b = _angles(u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho)
+    r_b, drt_b, drp_b = _radius_grad_stream(c_b, th_b, ph_b, lmax)
+
+    inside = rho < r_b
+    depth = jnp.where(inside, r_b - rho, 0.0)
+    w = jnp.where(inside, dA, 0.0)
+
+    area = jnp.sum(w, axis=1, keepdims=True)
+    vol = jnp.sum(w * depth, axis=1, keepdims=True)
+    cx = jnp.sum(w * rel[0], axis=1, keepdims=True)
+    cy = jnp.sum(w * rel[1], axis=1, keepdims=True)
+    cz = jnp.sum(w * rel[2], axis=1, keepdims=True)
+
+    nb = _surface_normal(r_b, drt_b, drp_b, th_b, ph_b)
+    nw = _rot(q_b, nb)
+    nxs = jnp.sum(w * nw[0], axis=1, keepdims=True)
+    nys = jnp.sum(w * nw[1], axis=1, keepdims=True)
+    nzs = jnp.sum(w * nw[2], axis=1, keepdims=True)
+    return area, vol, (cx, cy, cz), (nxs, nys, nzs)
+
+
+def _make_kernel(lmax: int):
+    def kernel(pairs_ref, ci_ref, cj_ref, cap_ref, par_ref, out_ref):
+        def col(name):
+            lo, hi = _SLOTS[name]
+            assert hi - lo == 1
+            return pairs_ref[:, lo:hi]
+
+        def vec(name):
+            lo, hi = _SLOTS[name]
+            return tuple(pairs_ref[:, c:c + 1] for c in range(lo, hi))
+
+        cap = tuple(cap_ref[k:k + 1, :] for k in range(4))
+
+        d = vec("d")
+        dist2 = _dot3(d, d)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+        inv_dist = 1.0 / dist
+        pre = {
+            "qi": vec("qi"), "qj": vec("qj"), "d": d,
+            "dist": dist, "inv_dist": inv_dist,
+        }
+        rsum = col("rbi") + col("rbj")
+        cull = (col("mask") > 0.5) & (dist < rsum) & (dist > 1e-12)
+
+        a1, v1, c1, n1 = _probe(col, (ci_ref, cj_ref), pre, "ij", cap, lmax)
+        a2, v2, c2, n2 = _probe(col, (ci_ref, cj_ref), pre, "ji", cap, lmax)
+
+        area = 0.5 * (a1 + a2)
+        vol = 0.5 * (v1 + v2)
+        denom = jnp.maximum(a1 + a2, 1e-12)
+        # c2 is relative to x_j; fold into i-relative via + a2*d.
+        cen = tuple(
+            jnp.where(a1 + a2 > 0, (c1[k] + c2[k] + a2 * d[k]) / denom,
+                      0.5 * d[k])
+            for k in range(3)
+        )
+        nraw = tuple(n1[k] - n2[k] for k in range(3))
+        nn = jnp.sqrt(jnp.maximum(_dot3(nraw, nraw), 1e-24))
+        d_hat = tuple(d[k] * inv_dist for k in range(3))
+        n_hat = tuple(
+            jnp.where(nn > 1e-10, nraw[k] / nn, -d_hat[k]) for k in range(3)
+        )
+
+        in_contact = cull & (area > 0)
+        delta = jnp.where(in_contact, 2.0 * vol / jnp.maximum(area, 1e-12), 0.0)
+
+        rci, rcj = col("rci"), col("rcj")
+        r_eff = rci * rcj / jnp.maximum(rci + rcj, 1e-12)
+        mi, mj = col("mi"), col("mj")
+        m_eff = mi * mj / jnp.maximum(mi + mj, 1e-30)
+        poly = jnp.sqrt(jnp.maximum(delta * r_eff, 0.0))
+
+        dt = par_ref[0, 0]
+        kn = par_ref[0, 1]
+        kt = par_ref[0, 2]
+        gn = par_ref[0, 3]
+        gt = par_ref[0, 4]
+        mu = par_ref[0, 5]
+
+        vi, vj = vec("vi"), vec("vj")
+        omi, omj = vec("omi"), vec("omj")
+        arm_i = cen
+        arm_j = tuple(cen[k] - d[k] for k in range(3))
+        wxi = _cross3(omi, arm_i)
+        wxj = _cross3(omj, arm_j)
+        v_rel = tuple(vi[k] + wxi[k] - vj[k] - wxj[k] for k in range(3))
+        vn_mag = _dot3(v_rel, n_hat)
+        vt = tuple(v_rel[k] - vn_mag * n_hat[k] for k in range(3))
+
+        fn_mag = jnp.maximum(poly * (kn * delta - m_eff * gn * vn_mag), 0.0)
+
+        hist = vec("hist")
+        xi_dot_n = _dot3(hist, n_hat)
+        xi = tuple(hist[k] - xi_dot_n * n_hat[k] for k in range(3))
+        xi = tuple(
+            jnp.where(in_contact, xi[k] + vt[k] * dt, 0.0) for k in range(3)
+        )
+        f_t = tuple(-poly * (kt * xi[k] + m_eff * gt * vt[k]) for k in range(3))
+        ft_mag = jnp.sqrt(jnp.maximum(_dot3(f_t, f_t), 1e-30))
+        capf = mu * fn_mag
+        over = ft_mag > jnp.maximum(capf, 1e-30)
+        scale_ft = jnp.where(over, capf / ft_mag, 1.0)
+        f_t = tuple(f_t[k] * scale_ft for k in range(3))
+        inv_poly = 1.0 / jnp.maximum(poly, 1e-30)
+        xi = tuple(
+            jnp.where(
+                over & (poly > 0),
+                -(f_t[k] * inv_poly + m_eff * gt * vt[k]) / kt,
+                xi[k],
+            )
+            for k in range(3)
+        )
+
+        force = tuple(
+            jnp.where(in_contact, fn_mag * n_hat[k] + f_t[k], 0.0)
+            for k in range(3)
+        )
+        torque = _cross3(arm_i, force)
+        pe = jnp.where(
+            in_contact,
+            0.4 * kn * jnp.sqrt(r_eff) * delta * delta * jnp.sqrt(delta),
+            0.0,
+        )
+
+        out = jnp.concatenate(
+            list(force) + list(torque) + list(xi)
+            + [pe, in_contact.astype(pe.dtype)]
+            + [jnp.zeros_like(pe)] * (_NOUT - 11),
+            axis=1,
+        )
+        out_ref[:, :] = out
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("lmax", "block", "interpret"))
+def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
+                        block: int = 128, interpret: bool = False):
+    """Run the fused kernel. packed: [P, _F]; ci/cj: [P, NC] pre-scaled
+    coefficient rows; cap: [4, G]; par: [1, 8]. Returns [P, _NOUT]."""
+    P = packed.shape[0]
+    NC = ci.shape[1]
+    G = cap.shape[1]
+    n_blocks = -(-P // block)
+    pad = n_blocks * block - P
+    if pad:
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+        ci = jnp.pad(ci, ((0, pad), (0, 0)))
+        cj = jnp.pad(cj, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        _make_kernel(lmax),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * block, _NOUT),
+                                       packed.dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, _F), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, NC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, NC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((block, _NOUT), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed, ci, cj, cap, par)
+    return out[:P]
+
+
+def pack_pairs(state, shapes, params, pi, pj, mask, hist, d):
+    """Build the kernel inputs from gathered pair data (XLA-side)."""
+    def g(field, idx):
+        return getattr(state, field)[idx]
+
+    from spherharm_tpu.ops.rotation import omega_from_angmom
+
+    cols = []
+
+    def put(arr, width):
+        a = arr if arr.ndim == 2 else arr[:, None]
+        assert a.shape[1] == width
+        cols.append(a.astype(jnp.float32))
+
+    for idx in (pi, pj):
+        s = state.scale[idx]
+        t = state.shtype[idx]
+        om = omega_from_angmom(
+            state.q[idx], state.angmom[idx], shapes.inertia_of(t, s)
+        )
+        put(state.x[idx], 3)
+        put(state.v[idx], 3)
+        put(state.q[idx], 4)
+        put(om, 3)
+        put(shapes.mass_of(t, s), 1)
+        put(shapes.rmax[t] * s, 1)
+        put(shapes.rmin[t] * s, 1)
+        put(shapes.rchar[t] * s, 1)
+    put(hist, 3)
+    put(mask.astype(jnp.float32), 1)
+    put(d, 3)
+    packed = jnp.concatenate(cols, axis=1)
+    packed = jnp.pad(packed, ((0, 0), (0, _F - packed.shape[1])))
+    ci = shapes.coeffs[state.shtype[pi]] * state.scale[pi][:, None]
+    cj = shapes.coeffs[state.shtype[pj]] * state.scale[pj][:, None]
+    cap = jnp.stack([shapes.cap_x, shapes.cap_glw, shapes.cap_cpsi,
+                     shapes.cap_spsi], axis=0)
+    par = jnp.stack([
+        params.dt, params.kn, params.kt, params.gamma_n, params.gamma_t,
+        params.mu, jnp.zeros_like(params.dt), jnp.zeros_like(params.dt),
+    ])[None, :].astype(jnp.float32)
+    return packed, ci, cj, cap, par

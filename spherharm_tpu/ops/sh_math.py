@@ -173,6 +173,91 @@ def real_sh_basis_grad(theta, phi, lmax: int):
     )
 
 
+@partial(jax.jit, static_argnames=("lmax",))
+def radius_grad_streaming(coeffs, theta, phi, lmax: int):
+    """Radius + angular gradients with immediate coefficient contraction.
+
+    Equivalent to contracting ``real_sh_basis_grad`` against per-element
+    coefficients, but each (n, m) term is multiplied into the running
+    (r, dr/dt, dr/dp) sums as it is produced — no [..., NC] basis tensor
+    is ever materialized. This is the memory-sane exact path for the hot
+    loop (and the form used inside the Pallas kernel).
+
+    coeffs: [..., NC] broadcastable against theta[...]'s leading dims
+    (typically coeffs [P, NC] with theta [P, G] -> per-pair coefficient
+    columns broadcast along G).
+    Returns (r, dr_dt, dr_dp) shaped like theta.
+    """
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    inv_sin = 1.0 / jnp.maximum(jnp.abs(sin_t), 1e-6) * jnp.sign(sin_t + 1e-30)
+    sq2 = math.sqrt(2.0)
+
+    def coef(n, m):
+        c = coeffs[..., sh_index(n, m)]
+        return c[..., None] if coeffs.ndim == theta.ndim else c
+
+    r = jnp.zeros_like(theta)
+    drt = jnp.zeros_like(theta)
+    drp = jnp.zeros_like(theta)
+
+    c1, s1 = jnp.cos(phi), jnp.sin(phi)
+    cos_m_prev = jnp.ones_like(phi)
+    sin_m_prev = jnp.zeros_like(phi)
+
+    # March over m (diagonal-first): for each m, walk n = m .. lmax with
+    # the three-term recurrence, touching only two P-columns at a time.
+    P_mm = jnp.full_like(cos_t, 1.0 / math.sqrt(4.0 * math.pi))
+    for m in range(0, lmax + 1):
+        if m > 0:
+            P_mm = math.sqrt((2 * m + 1) / (2 * m)) * sin_t * P_mm
+            cos_m, sin_m = (
+                cos_m_prev * c1 - sin_m_prev * s1,
+                sin_m_prev * c1 + cos_m_prev * s1,
+            )
+            cos_m_prev, sin_m_prev = cos_m, sin_m
+        else:
+            cos_m, sin_m = cos_m_prev, sin_m_prev
+
+        P_nm1 = None  # P_{n-1, m}
+        P_nm = P_mm
+        for n in range(m, lmax + 1):
+            if n > m:
+                if n == m + 1:
+                    P_new = math.sqrt(2 * m + 3) * cos_t * P_nm
+                else:
+                    a = math.sqrt((4 * n * n - 1) / (n * n - m * m))
+                    b = math.sqrt(
+                        ((2 * n + 1) / (2 * n - 3))
+                        * ((n - 1) ** 2 - m * m)
+                        / (n * n - m * m)
+                    )
+                    P_new = a * cos_t * P_nm - b * P_nm1
+                P_nm1, P_nm = P_nm, P_new
+            # dP via the lower-degree identity.
+            if n == 0:
+                dP = jnp.zeros_like(cos_t)
+            else:
+                term = n * cos_t * P_nm
+                if n - 1 >= m:
+                    e = math.sqrt((n * n - m * m) * (2 * n + 1) / (2 * n - 1))
+                    term = term - e * P_nm1
+                dP = term * inv_sin
+            if m == 0:
+                a0 = coef(n, 0)
+                r = r + a0 * P_nm
+                drt = drt + a0 * dP
+            else:
+                ac = sq2 * coef(n, m)
+                as_ = sq2 * coef(n, -m)
+                yc = P_nm * cos_m
+                ys = P_nm * sin_m
+                r = r + ac * yc + as_ * ys
+                drt = drt + (ac * cos_m + as_ * sin_m) * dP
+                drp = drp + m * (as_ * yc - ac * ys)
+    return r, drt, drp
+
+
 def radius_from_basis(coeffs, basis):
     """Contract coefficients against a basis: ``r = sum_c a_c Y_c``.
 

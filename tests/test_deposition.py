@@ -1,0 +1,98 @@
+"""Config 3 acceptance (BASELINE.json:9): scanned-shape Lmax=8 particles,
+high-order quadrature — torque/rotation fidelity (scaled for CI)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spherharm_tpu.core.simulation import Simulation
+from spherharm_tpu.core.state import SimParams
+from spherharm_tpu.models import scenarios, shapes_library
+from spherharm_tpu.ops import contact
+
+
+def _blob_pair_state(seed, lmax=8, contact_quad=(12, 24)):
+    rng = np.random.default_rng(seed)
+    coeffs = np.stack([
+        shapes_library.blob_coeffs(lmax, seed=seed + t, mean_radius=0.5,
+                                   roughness=0.12)
+        for t in range(2)
+    ])
+    shapes = shapes_library.build_shapes(coeffs, lmax,
+                                         contact_quad=contact_quad)
+    params = SimParams.create(dt=1e-4, kn=1e5, gamma_n=20.0, mu=0.4,
+                              cutoff=1.4, skin=0.2)
+    # Overlapping oriented pair.
+    q = rng.normal(size=(2, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    d = 0.93 * (float(shapes.rmax[0]) + float(shapes.rmax[1]))
+    x = np.asarray([[0.0, 0.0, 0.0], [d, 0.02, -0.03]])
+    state = scenarios.make_state(
+        x, [-3, -3, -3], [3, 3, 3], q=q,
+        v=rng.normal(size=(2, 3)) * 0.1,
+        shtype=[0, 1],
+    )
+    sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=1)
+    state, neigh = sim.init_neighbors(state)
+    return sim, state, neigh
+
+
+@pytest.mark.parametrize("seed", [0, 7, 21])
+def test_exact_vs_table_eval(seed):
+    """The interp-table fast path must match the exact ALP/Ylm evaluation
+    (the quadrature fidelity knob of config 3)."""
+    sim, state, neigh = _blob_pair_state(seed)
+    f_t, tau_t, _, pe_t, _ = contact.contact_force_dense(
+        state, sim.shapes, sim.params, neigh, exact=False
+    )
+    f_e, tau_e, _, pe_e, _ = contact.contact_force_dense(
+        state, sim.shapes, sim.params, neigh, exact=True
+    )
+    fmag = float(jnp.abs(f_e).max())
+    if fmag < 1e-8:
+        pytest.skip("pair not in contact for this seed")
+    np.testing.assert_allclose(
+        np.asarray(f_t), np.asarray(f_e), atol=1.5e-2 * fmag
+    )
+    np.testing.assert_allclose(
+        np.asarray(tau_t), np.asarray(tau_e),
+        atol=1.5e-2 * max(float(jnp.abs(tau_e).max()), fmag * 0.1),
+    )
+    assert float(pe_t) == pytest.approx(float(pe_e), rel=5e-2)
+
+
+def test_offcenter_contact_generates_torque():
+    """Aspherical contact away from the line of centers must torque both
+    bodies (rotation fidelity is the whole point of SH-DEM)."""
+    torques = []
+    for seed in (1, 3, 5, 9):
+        sim, state, neigh = _blob_pair_state(seed)
+        st, _, _ = sim.compute_forces(state, neigh)
+        if float(jnp.abs(st.f).max()) > 1e-6:
+            torques.append(float(jnp.abs(st.tau).max())
+                           / float(jnp.abs(st.f).max()))
+    assert torques, "no contacting seeds"
+    assert max(torques) > 1e-2  # lever arms are O(contact offset)
+
+
+def test_small_deposition_dissipates_and_rotates():
+    sim, state, neigh = scenarios.deposition(
+        n=40, lmax=6, dt=1.5e-4, k_max=24, contact_quad=(8, 16),
+        mean_radius=0.5, poly_spread=0.15, n_shape_types=2,
+    )
+    from spherharm_tpu.core import computes
+
+    e0 = float(sim.thermo(state, neigh)["etot"])
+    for _ in range(6):
+        state, neigh = sim.run(state, neigh, 400)
+    t = sim.thermo(state, neigh)
+    # Everything retained inside the drum, energy dissipated.
+    assert int(state.n_active) == 40
+    assert float(t["etot"]) < e0
+    # Falling aspherical grains pick up rotation from frictional contacts.
+    om = computes.angular_speed(state, sim.shapes)
+    assert float(jnp.max(om)) > 1e-3
+    # Quaternions stay unit.
+    act = np.asarray(state.active)
+    norms = np.linalg.norm(np.asarray(state.q)[act], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)

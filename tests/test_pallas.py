@@ -1,0 +1,82 @@
+"""Pallas fused contact kernel vs the jnp reference (interpret mode on
+CPU; the compiled path runs on TPU in bench)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spherharm_tpu.core.state import SimParams
+from spherharm_tpu.models import scenarios, shapes_library
+from spherharm_tpu.ops import contact, contact_pallas
+from spherharm_tpu.ops.contact import minimum_image
+
+
+def _random_pairs(seed=0, lmax=4, n=24, contact_quad=(8, 16)):
+    rng = np.random.default_rng(seed)
+    coeffs = np.stack([
+        shapes_library.blob_coeffs(lmax, seed=seed + t, mean_radius=0.5,
+                                   roughness=0.12)
+        for t in range(3)
+    ])
+    shapes = shapes_library.build_shapes(coeffs, lmax,
+                                         contact_quad=contact_quad)
+    params = SimParams.create(dt=1e-4, kn=1e5, gamma_n=20.0, mu=0.4,
+                              cutoff=1.4, skin=0.2)
+    x = rng.uniform(0.7, 3.3, (n, 3))
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    state = scenarios.make_state(
+        x, [0, 0, 0], [4, 4, 4], q=q,
+        v=rng.normal(size=(n, 3)) * 0.2,
+        scale=rng.uniform(0.85, 1.15, n),
+        shtype=rng.integers(0, 3, n),
+    )
+    # candidate pairs: all i<j within generous range, duplicated both ways
+    pi, pj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    sel = pi.ravel() != pj.ravel()
+    pi = jnp.asarray(pi.ravel()[sel], jnp.int32)
+    pj = jnp.asarray(pj.ravel()[sel], jnp.int32)
+    mask = jnp.ones(pi.shape, bool)
+    hist = jnp.asarray(rng.normal(size=(pi.shape[0], 3)) * 1e-4, jnp.float32)
+    return shapes, params, state, pi, pj, mask, hist
+
+
+def test_pallas_kernel_matches_reference():
+    shapes, params, state, pi, pj, mask, hist = _random_pairs()
+    d = minimum_image(
+        state.x[pj] - state.x[pi], state.box_lo, state.box_hi,
+        (False, False, False),
+    )
+    # jnp reference
+    gi = contact.gather_particle(state, shapes, pi)
+    gj = contact.gather_particle(state, shapes, pj)
+    f_ref, tau_ref, hist_ref, pe_ref, inc_ref, d_ref = contact.pair_contact(
+        gi[0], gi[1], gi[2], gi[3], gi[4], gi[5], gi[6],
+        gj[0], gj[1], gj[2], gj[3], gj[4], gj[5], gj[6],
+        hist, mask, state.box_lo, state.box_hi, shapes, params,
+        exact=True, periodic=(False, False, False),
+    )
+    # pallas kernel (interpret mode on CPU)
+    packed, ci, cj, cap, par = contact_pallas.pack_pairs(
+        state, shapes, params, pi, pj, mask, hist, d
+    )
+    out = contact_pallas.pair_contact_pallas(
+        packed, ci, cj, cap, par, lmax=shapes.lmax, block=64, interpret=True
+    )
+    f = np.asarray(out[:, 0:3])
+    tau = np.asarray(out[:, 3:6])
+    hist_new = np.asarray(out[:, 6:9])
+    pe = np.asarray(out[:, 9])
+    inc = np.asarray(out[:, 10]) > 0.5
+
+    fmag = max(float(jnp.abs(f_ref).max()), 1e-6)
+    np.testing.assert_array_equal(inc, np.asarray(inc_ref))
+    np.testing.assert_allclose(f, np.asarray(f_ref), atol=2e-3 * fmag)
+    np.testing.assert_allclose(tau, np.asarray(tau_ref), atol=2e-3 * fmag)
+    np.testing.assert_allclose(
+        hist_new, np.asarray(hist_ref), atol=1e-6 + 1e-3 * np.abs(hist_ref).max()
+    )
+    np.testing.assert_allclose(pe, np.asarray(pe_ref),
+                               atol=2e-3 * max(float(pe_ref.max()), 1e-6))
+    assert inc.sum() > 3, "test system should have several contacts"
