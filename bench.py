@@ -38,6 +38,7 @@ def main():
         n=n, lmax=lmax,
         pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", 65536)),
         k_max=24,
+        use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
     )
     setup_s = time.time() - t0
     print(f"# setup {setup_s:.1f}s  n={n} lmax={lmax} "

@@ -26,9 +26,16 @@ import jax as _jax
 # and tests start in seconds instead of minutes. Opt out with
 # SPHERHARM_JAX_CACHE=0.
 if _os.environ.get("SPHERHARM_JAX_CACHE", "1") != "0":
-    _cache = _os.environ.get(
-        "SPHERHARM_JAX_CACHE_DIR",
-        _os.path.expanduser("~/.cache/spherharm_jax"),
+    # Partition by platform: AOT artifacts embed host machine features,
+    # and mixing remote-compiled TPU-host CPU code with this host's CPU
+    # triggers feature-mismatch (possible SIGILL) on reload.
+    _plat = str(_jax.config.jax_platforms or "default").replace(",", "_")
+    _cache = _os.path.join(
+        _os.environ.get(
+            "SPHERHARM_JAX_CACHE_DIR",
+            _os.path.expanduser("~/.cache/spherharm_jax"),
+        ),
+        _plat,
     )
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

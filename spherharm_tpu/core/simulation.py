@@ -55,6 +55,8 @@ class Simulation:
         exact_eval: bool = False,
         pair_chunk: int = 0,
         pair_capacity: int = 0,
+        use_pallas: bool = False,
+        press_control: bool = False,
         gravity_pe_origin=(0.0, 0.0, 0.0),
     ):
         self.shapes = shapes
@@ -68,6 +70,8 @@ class Simulation:
         self.exact_eval = bool(exact_eval)
         self.pair_chunk = int(pair_chunk)
         self.pair_capacity = int(pair_capacity)
+        self.use_pallas = bool(use_pallas)
+        self.press_control = bool(press_control)
         self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
         if neighbor_mode == "cell" and grid is None:
             raise ValueError("neighbor_mode='cell' requires a CellGrid")
@@ -137,6 +141,7 @@ class Simulation:
                     pair_cap=self.pair_capacity,
                     exact=self.exact_eval, periodic=self.periodic,
                     chunk=self.pair_chunk or 16384,
+                    use_pallas=self.use_pallas,
                 )
             )
             neigh = neigh.replace(
@@ -186,8 +191,13 @@ class Simulation:
         )
         neigh = neigh.replace(x_build=x_build)
         state, neigh = self._maybe_rebuild(state, neigh)
-        state, neigh, _ = self.compute_forces(state, neigh)
+        state, neigh, aux = self.compute_forces(state, neigh)
         state = integrate.final_integrate(state, self.shapes, self.params)
+        if self.press_control:
+            state, x_build = integrate.berendsen_box_control(
+                state, neigh.x_build, self.params, aux["virial"], self.shapes
+            )
+            neigh = neigh.replace(x_build=x_build)
         return state, neigh
 
     def run(self, state: State, neigh: NeighborState, n_steps: int):

@@ -150,11 +150,15 @@ class SimParams:
     cutoff: jax.Array        # neighbor cutoff = 2*max(rmax*scale) (+ margin)
     deform_rate: jax.Array   # [3] diagonal engineering strain rate (fix
                              # deform analogue; triaxial cell of config 5)
+    press_target: jax.Array  # [3] target diagonal stress (servo control)
+    press_tau: jax.Array     # Berendsen coupling time; 0 disables servo
 
     @classmethod
     def create(cls, dt, kn, kt=None, gamma_n=0.0, gamma_t=None, mu=0.5,
                gravity=(0.0, 0.0, 0.0), skin=0.0, cutoff=1.0,
-               deform_rate=(0.0, 0.0, 0.0), dtype=jnp.float32):
+               deform_rate=(0.0, 0.0, 0.0),
+               press_target=(0.0, 0.0, 0.0), press_tau=0.0,
+               dtype=jnp.float32):
         if kt is None:
             kt = 2.0 / 7.0 * kn
         if gamma_t is None:
@@ -165,6 +169,8 @@ class SimParams:
             gamma_t=f(gamma_t), mu=f(mu), gravity=f(jnp.asarray(gravity)),
             skin=f(skin), cutoff=f(cutoff),
             deform_rate=f(jnp.asarray(deform_rate)),
+            press_target=f(jnp.asarray(press_target)),
+            press_tau=f(press_tau),
         )
 
 

@@ -15,7 +15,9 @@ Supported commands (LAMMPS syntax; unknown commands raise):
   shape <type> sphere <R> | ellipsoid <a> <b> <c> | blob <seed> [rough]
   density <type> <rho>
   read_data <file>
+  lattice sc <pitch>
   create_atoms <type> random <N> <seed> <region-id> [scale <lo> <hi>]
+  create_atoms <type> region <region-id> [seed <s>] [scale <lo> <hi>]
   velocity all create <KE-per-atom> <seed> | velocity all set vx vy vz
   pair_style spherharm <kn> <kt> <gamma_n> <gamma_t> <mu> [lmax <L>]
   pair_coeff * *
@@ -158,18 +160,43 @@ class DeckRunner:
         self.atoms = data_io.read_data_file(a[0])
         self.box = (self.atoms["box_lo"], self.atoms["box_hi"])
 
+    def cmd_lattice(self, a):
+        if a[0] != "sc":
+            raise DeckError("only simple-cubic lattice supported")
+        self.lattice_pitch = float(a[1])
+
     def cmd_create_atoms(self, a):
         t = int(a[0]) - 1
-        if a[1] != "random":
-            raise DeckError("only 'create_atoms T random N seed region' supported")
-        n, seed, rid = int(a[2]), int(a[3]), a[4]
-        lo, hi = self.regions[rid]
+        seed = 12345
+        if "seed" in a:
+            seed = int(a[a.index("seed") + 1])
         rng = np.random.default_rng(seed)
+        if a[1] == "random":
+            n, seed, rid = int(a[2]), int(a[3]), a[4]
+            rng = np.random.default_rng(seed)
+            lo, hi = self.regions[rid]
+            x = rng.uniform(lo, hi, (n, 3))
+        elif a[1] == "region":
+            # Fill the region with simple-cubic lattice sites (the
+            # LAMMPS lattice + create_atoms region idiom).
+            pitch = getattr(self, "lattice_pitch", None)
+            if pitch is None:
+                raise DeckError("create_atoms region requires a lattice")
+            lo, hi = self.regions[a[2]]
+            axes = [np.arange(lo[d] + pitch / 2, hi[d], pitch) for d in range(3)]
+            gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+            x = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+            n = x.shape[0]
+            x = x + rng.uniform(-0.02, 0.02, x.shape) * pitch
+        else:
+            raise DeckError(
+                "create_atoms supports 'T random N seed region' or "
+                "'T region <id>'"
+            )
         scale = np.ones(n)
         if "scale" in a:
             i = a.index("scale")
             scale = rng.uniform(float(a[i + 1]), float(a[i + 2]), n)
-        x = rng.uniform(lo, hi, (n, 3))
         q = rng.normal(size=(n, 4))
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         new = {

@@ -15,17 +15,16 @@ import jax.numpy as jnp
 from spherharm_tpu.core.state import NeighborState, SimParams, State
 
 
-_STATE_FIELDS = (
-    "x", "v", "q", "angmom", "f", "tau", "scale", "shtype", "tag",
-    "active", "image", "box_lo", "box_hi", "step",
-)
-_NEIGH_FIELDS = (
-    "idx", "mask", "hist", "neigh_tag", "row_tag", "wall_hist",
-    "x_build", "overflow",
-)
-_PARAM_FIELDS = (
-    "dt", "kn", "kt", "gamma_n", "gamma_t", "mu", "gravity", "skin", "cutoff",
-)
+import dataclasses
+
+
+def _fields(cls):
+    return tuple(f.name for f in dataclasses.fields(cls))
+
+
+_STATE_FIELDS = _fields(State)
+_NEIGH_FIELDS = _fields(NeighborState)
+_PARAM_FIELDS = _fields(SimParams)
 
 
 def write_restart(path, state: State, neigh: NeighborState,

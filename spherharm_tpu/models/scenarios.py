@@ -180,6 +180,7 @@ def rotating_drum(
     pair_chunk: int = 0,
     pair_capacity: int | None = None,
     contact_quad=None,
+    use_pallas: bool = False,
     dtype=jnp.float32,
 ):
     """Config 4: N polydisperse Lmax=8 particles in a rotating drum —
@@ -251,7 +252,7 @@ def rotating_drum(
     sim = Simulation(
         shapes, params, neighbor_mode="cell", grid=grid,
         k_max=k_max, cell_cap=10, walls=walls, pair_chunk=pair_chunk,
-        pair_capacity=pair_capacity,
+        pair_capacity=pair_capacity, use_pallas=use_pallas,
     )
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh
@@ -263,6 +264,8 @@ def triaxial_cell(
     mean_radius: float = 0.5,
     fill_fraction: float = 0.35,
     strain_rate=(-0.05, -0.05, -0.05),
+    press_target: float = 0.0,
+    press_tau: float = 0.0,
     kn: float = 1.0e5,
     gamma_n: float = 50.0,
     mu: float = 0.4,
@@ -314,7 +317,9 @@ def triaxial_cell(
     params = SimParams.create(
         dt=dt, kn=kn, gamma_n=gamma_n, mu=mu,
         skin=0.4 * rmax, cutoff=2.0 * rmax,
-        deform_rate=strain_rate, dtype=dtype,
+        deform_rate=strain_rate,
+        press_target=(press_target,) * 3, press_tau=press_tau,
+        dtype=dtype,
     )
     state = make_state(x, [0, 0, 0], [box, box, box], v=v, q=q,
                        shtype=shtype, dtype=dtype)
@@ -340,6 +345,7 @@ def triaxial_cell(
     sim = Simulation(
         shapes, params, periodic=periodic, neighbor_mode="cell", grid=grid,
         k_max=k_max, cell_cap=16, pair_capacity=max(12 * n, 512),
+        press_control=press_tau > 0,
     )
     st, ng = sim.init_neighbors(state)
     return sim, st, ng

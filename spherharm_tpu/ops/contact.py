@@ -341,13 +341,15 @@ def contact_force_dense(state, shapes, params, neigh,
     return f, tau, hist_new.reshape(N, K, 3), pe_total, virial
 
 
-@partial(jax.jit, static_argnames=("exact", "periodic", "pair_cap", "chunk"))
+@partial(jax.jit, static_argnames=("exact", "periodic", "pair_cap", "chunk",
+                                   "use_pallas"))
 def contact_force_compact(state, shapes, params, neigh,
                           pair_cap: int,
                           exact: bool = False,
                           periodic=(False, False, False),
                           chunk: int = 16384,
-                          owned=None):
+                          owned=None,
+                          use_pallas: bool = False):
     """Force/torque via broad-phase compaction to a fixed pair capacity.
 
     The [N, K] Verlet tensor is mostly empty slack (cutoff includes skin;
@@ -407,6 +409,36 @@ def contact_force_compact(state, shapes, params, neigh,
             hist, msk, state.box_lo, state.box_hi, shapes, params,
             exact=exact, periodic=periodic,
         )
+
+    if use_pallas:
+        from spherharm_tpu.ops import contact_pallas
+
+        hist_in = neigh.hist.reshape(-1, 3)[sel]
+        dp = minimum_image(
+            state.x[pj] - state.x[pi], state.box_lo, state.box_hi, periodic
+        )
+        packed, ci, cj, cap, par = contact_pallas.pack_pairs(
+            state, shapes, params, pi, pj, psel_valid, hist_in, dp
+        )
+        out = contact_pallas.pair_contact_pallas(
+            packed, ci, cj, cap, par, lmax=shapes.lmax
+        )
+        force = out[:, 0:3]
+        torque = out[:, 3:6]
+        hist_new = out[:, 6:9]
+        pe = out[:, 9]
+        f = jax.ops.segment_sum(force, pi, num_segments=N)
+        tau = jax.ops.segment_sum(torque, pi, num_segments=N)
+        hist = (
+            jnp.zeros_like(neigh.hist)
+            .reshape(-1, 3)
+            .at[sel]
+            .set(jnp.where(psel_valid[:, None], hist_new, 0.0))
+            .reshape(N, K, 3)
+        )
+        pe_total = 0.5 * jnp.sum(pe)
+        virial = -0.5 * jnp.einsum("pa,pb->ab", dp, force)
+        return f, tau, hist, pe_total, virial, n_candidates
 
     blocks = (pi, pj, psel_valid, neigh.hist.reshape(-1, 3)[sel])
     if chunk and pair_cap > chunk:

@@ -369,9 +369,14 @@ def _make_kernel(lmax: int):
 
 @partial(jax.jit, static_argnames=("lmax", "block", "interpret"))
 def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
-                        block: int = 128, interpret: bool = False):
+                        block: int = 128, interpret: bool | None = None):
     """Run the fused kernel. packed: [P, _F]; ci/cj: [P, NC] pre-scaled
-    coefficient rows; cap: [4, G]; par: [1, 8]. Returns [P, _NOUT]."""
+    coefficient rows; cap: [4, G]; par: [1, 8]. Returns [P, _NOUT].
+
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere
+    (so the full pipeline stays testable on the CPU mesh)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     P = packed.shape[0]
     NC = ci.shape[1]
     G = cap.shape[1]

@@ -89,6 +89,34 @@ def apply_deformation(state, x_build, params):
     return state, center + (x_build - center) * factor
 
 
+def berendsen_box_control(state, x_build, params, virial, shapes):
+    """Anisotropic Berendsen stress servo (fix press/berendsen analogue).
+
+    Per-axis dilation mu_a = 1 - dt/(3 tau) * (P_target_a - P_a), clipped
+    to +-1% per step, applied to box and positions (SURVEY.md 2 B.5
+    "box deform & stress control for the triaxial shear cell").
+    Disabled when press_tau == 0 (exact no-op).
+    """
+    m = shapes.mass_of(state.shtype, state.scale)
+    kin = jnp.einsum(
+        "n,na,na->a", jnp.where(state.active, m, 0.0), state.v, state.v
+    )
+    vol = jnp.prod(state.box_hi - state.box_lo)
+    p_diag = (kin + jnp.diagonal(virial)) / vol
+    inv_tau = jnp.where(
+        params.press_tau > 0, 1.0 / jnp.maximum(params.press_tau, 1e-30), 0.0
+    )
+    mu = 1.0 - (params.dt * inv_tau / 3.0) * (params.press_target - p_diag)
+    mu = jnp.clip(mu, 0.99, 1.01)
+    center = 0.5 * (state.box_lo + state.box_hi)
+    state = state.replace(
+        x=center + (state.x - center) * mu,
+        box_lo=center + (state.box_lo - center) * mu,
+        box_hi=center + (state.box_hi - center) * mu,
+    )
+    return state, center + (x_build - center) * mu
+
+
 def kinetic_energy(state, shapes):
     """Translational + rotational KE (masked)."""
     m = shapes.mass_of(state.shtype, state.scale)

@@ -119,6 +119,7 @@ class ShardedSimulation:
         walls: tuple = (),
         exact_eval: bool = False,
         deform_min: float = 1.0,
+        use_pallas: bool = False,
     ):
         self.shapes = shapes
         self.params = params
@@ -134,6 +135,7 @@ class ShardedSimulation:
         self.pair_chunk = int(pair_chunk)
         self.walls = tuple(walls)
         self.exact_eval = bool(exact_eval)
+        self.use_pallas = bool(use_pallas)
 
         self.box_lo_np = np.asarray(box_lo, np.float64)
         self.box_hi_np = np.asarray(box_hi, np.float64)
@@ -469,6 +471,7 @@ class ShardedSimulation:
             ext, self.shapes, self.params, neigh,
             pair_cap=self.pair_capacity, exact=self.exact_eval,
             periodic=self.periodic_eff, chunk=self.pair_chunk, owned=owned,
+            use_pallas=self.use_pallas,
         )
         neigh = neigh.replace(
             hist=hist,

@@ -83,12 +83,13 @@ def test_small_deposition_dissipates_and_rotates():
     from spherharm_tpu.core import computes
 
     e0 = float(sim.thermo(state, neigh)["etot"])
-    for _ in range(6):
-        state, neigh = sim.run(state, neigh, 400)
+    # Free fall lasts ~3400 steps (energy-conserving); impact + pile-up
+    # dissipates strongly after that (calibrated trace in repo history).
+    state, neigh = sim.run(state, neigh, 4400)
     t = sim.thermo(state, neigh)
     # Everything retained inside the drum, energy dissipated.
     assert int(state.n_active) == 40
-    assert float(t["etot"]) < e0
+    assert float(t["etot"]) < e0 - 0.1 * abs(e0)
     # Falling aspherical grains pick up rotation from frictional contacts.
     om = computes.angular_speed(state, sim.shapes)
     assert float(jnp.max(om)) > 1e-3
