@@ -26,6 +26,8 @@ Supported commands (LAMMPS syntax; unknown commands raise):
   fix <id> all gravity <g> vector <x> <y> <z>
   fix <id> all wall/gran plane <px> <py> <pz> <nx> <ny> <nz>
   fix <id> all wall/gran cylinder <ax> <ay> <az> <dx> <dy> <dz> <R> <omega>
+  fix <id> all deform <rate_x> <rate_y> <rate_z>
+  fix <id> all press/berendsen <target> <tau>
   timestep <dt>
   thermo <every>
   dump <id> all custom <every> <file> [cols...]
@@ -78,6 +80,9 @@ class DeckRunner:
         self.skin = None
         self.dt = 1e-4
         self.gravity = (0.0, 0.0, 0.0)
+        self.deform_rate = (0.0, 0.0, 0.0)
+        self.press_target = 0.0
+        self.press_tau = 0.0
         self.walls = []
         self.fixes = []
         self.thermo_every = 0
@@ -267,6 +272,11 @@ class DeckRunner:
                 ))
             else:
                 raise DeckError(f"wall kind {a[3]} unsupported")
+        elif style == "deform":
+            self.deform_rate = tuple(float(v) for v in a[3:6])
+        elif style == "press/berendsen":
+            self.press_target = float(a[3])
+            self.press_tau = float(a[4])
         else:
             raise DeckError(f"unsupported fix style {style}")
 
@@ -330,6 +340,8 @@ class DeckRunner:
             gamma_n=self.pair["gamma_n"], gamma_t=self.pair["gamma_t"],
             mu=self.pair["mu"], gravity=self.gravity,
             skin=skin, cutoff=cutoff,
+            deform_rate=self.deform_rate,
+            press_target=(self.press_target,) * 3, press_tau=self.press_tau,
         )
         lo, hi = self.box
         state = scenarios.make_state(
@@ -350,6 +362,7 @@ class DeckRunner:
             grid=grid, k_max=self.k_max, cell_cap=self.cell_cap,
             walls=tuple(self.walls),
             pair_capacity=max(4 * n, 512),
+            press_control=self.press_tau > 0,
         )
         self.state, self.neigh = self.sim.init_neighbors(state)
 

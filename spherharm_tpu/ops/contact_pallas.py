@@ -234,9 +234,16 @@ def _probe(col, ci_or_cj, pre, side, cap, lmax):
     th_b, ph_b = _angles(u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho)
     r_b, drt_b, drp_b = _radius_grad_stream(c_b, th_b, ph_b, lmax)
 
-    inside = rho < r_b
-    depth = jnp.where(inside, r_b - rho, 0.0)
-    w = jnp.where(inside, dA, 0.0)
+    # Smoothed containment weight (see ops/contact.py: kink-free overlap
+    # integrals for energy conservation).
+    if side == "ij":
+        w_smooth = 0.01 * col("rcj")
+    else:
+        w_smooth = 0.01 * col("rci")
+    depth = jnp.maximum(r_b - rho, 0.0)
+    t_in = jnp.clip(depth / w_smooth, 0.0, 1.0)
+    s_in = t_in * t_in * (3.0 - 2.0 * t_in)  # C^2 smoothstep
+    w = s_in * dA
 
     area = jnp.sum(w, axis=1, keepdims=True)
     vol = jnp.sum(w * depth, axis=1, keepdims=True)

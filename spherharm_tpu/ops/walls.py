@@ -110,9 +110,14 @@ def wall_contact(state, shapes, params, wall, hist):
     p = state.x[:, None, :] + rel
     depth, n_at = wall.depth_and_normal(p)
 
-    inside = (depth > 0) & near[:, None]
+    # Smoothed containment weight (see ops/contact.py: kink-free overlap
+    # integrals for energy conservation).
+    w_smooth = (0.01 * shapes.rchar[state.shtype] * state.scale)[:, None]
+    depth = jnp.where(near[:, None], jnp.maximum(depth, 0.0), 0.0)
+    t_in = jnp.clip(depth / w_smooth, 0.0, 1.0)
+    s_in = t_in * t_in * (3.0 - 2.0 * t_in)  # C^2 smoothstep
     dA = shapes.node_area[state.shtype] * (state.scale**2)[:, None]
-    w = jnp.where(inside, dA, 0.0)
+    w = s_in * dA
     area = jnp.sum(w, axis=-1)
     vol = jnp.sum(w * depth, axis=-1)
     in_contact = near & (area > 0)
