@@ -20,24 +20,19 @@ def particle_volumes(state, shapes):
     )
 
 
-def packing_fraction_box(state, shapes, z_quantile: float = 0.95):
+def packing_fraction_box(state, shapes):
     """Solid fraction of a settled bed in a box (config 2, BASELINE.json:8).
 
-    Bed volume = box footprint x bed height, with the height estimated as
-    the z_quantile of particle top heights (robust to single bouncers).
+    Bed volume = box footprint x bed height. For a (near-)uniform bed on
+    the floor, the volume-weighted mean particle height satisfies
+    z_mean = h/2, so h = 2 * z_mean — an estimator that is exact for a
+    uniform slab and robust to a few stray bouncers (unlike max/quantile
+    of particle tops).
     """
     vols = particle_volumes(state, shapes)
-    rmax_i = shapes.rmax[state.shtype] * state.scale
-    tops = jnp.where(state.active, state.x[:, 2] + rmax_i, 0.0)
-    n = jnp.maximum(jnp.sum(state.active), 1)
-    # quantile over active slots: sort with inactive pushed to the bottom.
-    tops_sorted = jnp.sort(tops)
-    cap = tops.shape[0]
-    rank = jnp.clip(
-        cap - n + (z_quantile * n).astype(jnp.int32), 0, cap - 1
-    )
-    bed_h = tops_sorted[rank] - 0.0  # box floor at z = box_lo[2]
-    bed_h = jnp.maximum(bed_h - state.box_lo[2], 1e-9)
+    z_rel = jnp.where(state.active, state.x[:, 2] - state.box_lo[2], 0.0)
+    z_mean = jnp.sum(vols * z_rel) / jnp.maximum(jnp.sum(vols), 1e-30)
+    bed_h = jnp.maximum(2.0 * z_mean, 1e-9)
     footprint = (state.box_hi[0] - state.box_lo[0]) * (
         state.box_hi[1] - state.box_lo[1]
     )

@@ -11,15 +11,16 @@ from spherharm_tpu.models import scenarios, shapes_library
 from spherharm_tpu.ops import integrate, rotation
 
 
-def _free_ellipsoid(dt=1e-3, angmom=(0.4, 0.05, 0.8)):
+def _free_ellipsoid(dt=1e-3, angmom=(0.4, 0.05, 0.8), dtype=jnp.float32):
     lmax = 6
     shapes = shapes_library.build_shapes(
-        [shapes_library.ellipsoid_coeffs(1.0, 0.7, 0.5, lmax)], lmax
+        [shapes_library.ellipsoid_coeffs(1.0, 0.7, 0.5, lmax)], lmax,
+        dtype=dtype,
     )
-    params = SimParams.create(dt=dt, kn=1.0, cutoff=2.5)
+    params = SimParams.create(dt=dt, kn=1.0, cutoff=2.5, dtype=dtype)
     state = scenarios.make_state(
         [[0.0, 0.0, 0.0]], [-5, -5, -5], [5, 5, 5],
-        angmom=[angmom],
+        angmom=[angmom], dtype=dtype,
     )
     sim = Simulation(shapes, params, neighbor_mode="static", k_max=1)
     state, neigh = sim.init_neighbors(state)
@@ -70,17 +71,17 @@ def test_rotation_rate_sphere():
 
 
 def test_richardson_second_order():
-    """Halving dt reduces rotational-KE error ~4x for the asymmetric top."""
+    """Halving dt reduces rotational-KE error ~4x for the asymmetric top
+    (run in f64 so roundoff doesn't mask the convergence order)."""
     errs = []
     for dt in (2e-3, 1e-3):
-        sim, state, neigh = _free_ellipsoid(dt=dt)
+        sim, state, neigh = _free_ellipsoid(dt=dt, dtype=jnp.float64)
         _, ke0 = integrate.kinetic_energy(state, sim.shapes)
         steps = int(2.0 / dt)
         state, neigh = sim.run(state, neigh, steps)
         _, ke1 = integrate.kinetic_energy(state, sim.shapes)
         errs.append(abs(float(ke1 - ke0)) / float(ke0))
-    # Ideal 2nd order gives 4x; f32 roundoff floors it — require > 2x.
-    assert errs[1] < errs[0] / 2.0
+    assert errs[1] < errs[0] / 2.5, errs
 
 
 def test_omega_from_angmom_roundtrip():
