@@ -39,22 +39,27 @@ def main():
         pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", 65536)),
         k_max=24,
         use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+        rebuild_every=int(os.environ.get("BENCH_REBUILD_EVERY", 20)),
     )
     setup_s = time.time() - t0
     print(f"# setup {setup_s:.1f}s  n={n} lmax={lmax} "
           f"grid={sim.grid.dims} pair_cap={sim.pair_capacity}",
           file=sys.stderr)
 
-    # Warm up / compile (includes a rebuild step in the traced graph).
+    # One compile: warm up and measure with the SAME block length.
+    block = int(os.environ.get("BENCH_BLOCK", 100))
     t0 = time.time()
-    state, neigh = sim.run(state, neigh, 5)
+    state, neigh = sim.run(state, neigh, block)
     jax.block_until_ready(state.x)
-    print(f"# compile+5 steps {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# compile+{block} steps {time.time() - t0:.1f}s", file=sys.stderr)
 
+    n_blocks = max(n_steps // block, 1)
     t0 = time.time()
-    state, neigh = sim.run(state, neigh, n_steps)
+    for _ in range(n_blocks):
+        state, neigh = sim.run(state, neigh, block)
     jax.block_until_ready(state.x)
     wall = time.time() - t0
+    n_steps = n_blocks * block
     ps_per_s = n * n_steps / wall
     overflow = int(neigh.overflow)
     therm = sim.thermo(state, neigh)

@@ -52,11 +52,12 @@ class Simulation:
         cell_cap: int = 8,
         grid: neighbor.CellGrid | None = None,
         walls: tuple = (),
-        exact_eval: bool = False,
+        exact_eval: bool | None = None,
         pair_chunk: int = 0,
         pair_capacity: int = 0,
         use_pallas: bool = False,
         press_control: bool = False,
+        rebuild_every: int = 0,
         gravity_pe_origin=(0.0, 0.0, 0.0),
     ):
         self.shapes = shapes
@@ -67,11 +68,19 @@ class Simulation:
         self.cell_cap = int(cell_cap)
         self.grid = grid
         self.walls = tuple(walls)
+        if exact_eval is None:
+            # Radius evaluation policy: the interp-table path needs ~12
+            # random gathers per quadrature node — catastrophic on TPU
+            # (measured 485 ms/step vs 3.2 ms for the gather-free
+            # streaming ALP recurrence at n=256). CPU gathers are cheap,
+            # recurrence flops are not — so default per backend.
+            exact_eval = jax.default_backend() in ("tpu", "axon")
         self.exact_eval = bool(exact_eval)
         self.pair_chunk = int(pair_chunk)
         self.pair_capacity = int(pair_capacity)
         self.use_pallas = bool(use_pallas)
         self.press_control = bool(press_control)
+        self.rebuild_every = int(rebuild_every)
         self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
         if neighbor_mode == "cell" and grid is None:
             raise ValueError("neighbor_mode='cell' requires a CellGrid")
@@ -184,13 +193,30 @@ class Simulation:
 
     # -- stepping ---------------------------------------------------------
 
-    def step(self, state: State, neigh: NeighborState):
+    def _step_core(self, state: State, neigh: NeighborState,
+                   rebuild: str):
+        """One VV step. rebuild: 'check' (lax.cond on the skin trigger),
+        'always' (unconditional, static-cadence mode), 'never'."""
         state = integrate.initial_integrate(state, self.shapes, self.params)
         state, x_build = integrate.apply_deformation(
             state, neigh.x_build, self.params
         )
         neigh = neigh.replace(x_build=x_build)
-        state, neigh = self._maybe_rebuild(state, neigh)
+        if rebuild == "check":
+            state, neigh = self._maybe_rebuild(state, neigh)
+        elif rebuild == "always":
+            # Record (don't branch on) skin violations: displacement
+            # beyond skin/2 before this scheduled rebuild means the list
+            # may have missed a contact — raise the cadence if nonzero.
+            disp2 = neighbor.max_displacement2(
+                state.x, neigh.x_build, state.active,
+                state.box_lo, state.box_hi, self.periodic,
+            )
+            viol = (disp2 > (0.5 * self.params.skin) ** 2).astype(jnp.int32)
+            state, neigh = self._rebuild(state, neigh)
+            neigh = neigh.replace(
+                skin_violations=neigh.skin_violations + viol
+            )
         state, neigh, aux = self.compute_forces(state, neigh)
         state = integrate.final_integrate(state, self.shapes, self.params)
         if self.press_control:
@@ -200,8 +226,31 @@ class Simulation:
             neigh = neigh.replace(x_build=x_build)
         return state, neigh
 
+    def step(self, state: State, neigh: NeighborState):
+        return self._step_core(
+            state, neigh,
+            "never" if self.neighbor_mode == "static" else "check",
+        )
+
     def run(self, state: State, neigh: NeighborState, n_steps: int):
-        """Scan ``n_steps`` integration steps (jit-compiled once)."""
+        """Scan ``n_steps`` integration steps (jit-compiled once).
+
+        With ``rebuild_every = R > 0`` the displacement-triggered
+        lax.cond is replaced by a static cadence (LAMMPS
+        ``neigh_modify every R check no``): blocks of R-1 plain steps +
+        one unconditional rebuild step, all statically scheduled —
+        no data-dependent branch anywhere in the loop. Skin violations
+        are counted in ``neigh.skin_violations``.
+        """
+        if self.rebuild_every > 0 and self.neighbor_mode != "static":
+            R = self.rebuild_every
+            n_blocks, rem = divmod(n_steps, R)
+            if n_blocks > 0:
+                state, neigh = _run_cadence_jit(self, state, neigh,
+                                                n_blocks, R)
+            if rem:
+                state, neigh = _run_jit(self, state, neigh, rem)
+            return state, neigh
         return _run_jit(self, state, neigh, n_steps)
 
     def run_inline(self, state: State, neigh: NeighborState, n_steps: int):
@@ -235,6 +284,25 @@ def _run_jit(sim: Simulation, state: State, neigh: NeighborState, n_steps: int):
         return sim.step(*carry), None
 
     (state, neigh), _ = jax.lax.scan(body, (state, neigh), None, length=n_steps)
+    return state, neigh
+
+
+@partial(jax.jit, static_argnames=("sim", "n_blocks", "r"))
+def _run_cadence_jit(sim: Simulation, state: State, neigh: NeighborState,
+                     n_blocks: int, r: int):
+    def plain(carry, _):
+        return sim._step_core(*carry, rebuild="never"), None
+
+    def block(carry, _):
+        s, ng = carry
+        s, ng = sim._step_core(s, ng, rebuild="always")
+        if r > 1:
+            (s, ng), _ = jax.lax.scan(plain, (s, ng), None, length=r - 1)
+        return (s, ng), None
+
+    (state, neigh), _ = jax.lax.scan(
+        block, (state, neigh), None, length=n_blocks
+    )
     return state, neigh
 
 

@@ -120,6 +120,8 @@ class NeighborState:
     wall_hist: jax.Array  # [cap, W, 3] per-wall tangential springs
     x_build: jax.Array  # [cap, 3] positions at build time (skin trigger)
     overflow: jax.Array # int32: max candidate count seen (> K means trouble)
+    skin_violations: jax.Array  # int32: times displacement exceeded skin/2
+                                # before a static-cadence rebuild fired
 
     @property
     def k_max(self) -> int:
@@ -207,4 +209,5 @@ def empty_neighbors(cap: int, k_max: int, n_walls: int = 0,
         wall_hist=jnp.zeros((cap, max(n_walls, 1), 3), dtype),
         x_build=jnp.zeros((cap, 3), dtype),
         overflow=jnp.asarray(0, jnp.int32),
+        skin_violations=jnp.asarray(0, jnp.int32),
     )

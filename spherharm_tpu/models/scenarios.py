@@ -181,6 +181,8 @@ def rotating_drum(
     pair_capacity: int | None = None,
     contact_quad=None,
     use_pallas: bool = False,
+    rebuild_every: int = 0,
+    exact_eval: bool | None = None,
     dtype=jnp.float32,
 ):
     """Config 4: N polydisperse Lmax=8 particles in a rotating drum —
@@ -253,6 +255,7 @@ def rotating_drum(
         shapes, params, neighbor_mode="cell", grid=grid,
         k_max=k_max, cell_cap=10, walls=walls, pair_chunk=pair_chunk,
         pair_capacity=pair_capacity, use_pallas=use_pallas,
+        rebuild_every=rebuild_every, exact_eval=exact_eval,
     )
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh

@@ -117,7 +117,7 @@ class ShardedSimulation:
         pair_capacity: int = 0,
         pair_chunk: int = 16384,
         walls: tuple = (),
-        exact_eval: bool = False,
+        exact_eval: bool | None = None,
         deform_min: float = 1.0,
         use_pallas: bool = False,
     ):
@@ -134,6 +134,8 @@ class ShardedSimulation:
         self.pair_capacity = int(pair_capacity) or 8 * cap_local
         self.pair_chunk = int(pair_chunk)
         self.walls = tuple(walls)
+        if exact_eval is None:
+            exact_eval = jax.default_backend() in ("tpu", "axon")
         self.exact_eval = bool(exact_eval)
         self.use_pallas = bool(use_pallas)
 
