@@ -120,6 +120,7 @@ class ShardedSimulation:
         exact_eval: bool | None = None,
         deform_min: float = 1.0,
         use_pallas: bool = False,
+        rebuild_every: int = 0,
     ):
         self.shapes = shapes
         self.params = params
@@ -138,6 +139,7 @@ class ShardedSimulation:
             exact_eval = jax.default_backend() in ("tpu", "axon")
         self.exact_eval = bool(exact_eval)
         self.use_pallas = bool(use_pallas)
+        self.rebuild_every = int(rebuild_every)
 
         self.box_lo_np = np.asarray(box_lo, np.float64)
         self.box_hi_np = np.asarray(box_hi, np.float64)
@@ -512,24 +514,41 @@ class ShardedSimulation:
         return state, neigh, aux
 
     def _local_step(self, state: State, neigh: NeighborState,
-                    ghosts: GhostPack):
+                    ghosts: GhostPack, rebuild: str = "check"):
+        """rebuild: 'check' (pmax + lax.cond skin trigger), 'always'
+        (static cadence, skin violations counted), 'comm' (forward comm
+        only — the between-rebuild steps of cadence mode)."""
         state = integrate.initial_integrate(state, self.shapes, self.params)
         state, x_build = integrate.apply_deformation(
             state, neigh.x_build, self.params
         )
         neigh = neigh.replace(x_build=x_build)
-        disp2 = neighbor.max_displacement2(
-            state.x, neigh.x_build[: self.cap_local], state.active,
-            state.box_lo, state.box_hi, self.periodic,
-        )
-        disp2 = jax.lax.pmax(disp2, "x")
-        need = disp2 > (0.5 * self.params.skin) ** 2
-        state, neigh, ghosts = jax.lax.cond(
-            need,
-            lambda args: self._rebuild(*args),
-            lambda args: self._forward_comm(*args),
-            (state, neigh, ghosts),
-        )
+        if rebuild == "check":
+            disp2 = neighbor.max_displacement2(
+                state.x, neigh.x_build[: self.cap_local], state.active,
+                state.box_lo, state.box_hi, self.periodic,
+            )
+            disp2 = jax.lax.pmax(disp2, "x")
+            need = disp2 > (0.5 * self.params.skin) ** 2
+            state, neigh, ghosts = jax.lax.cond(
+                need,
+                lambda args: self._rebuild(*args),
+                lambda args: self._forward_comm(*args),
+                (state, neigh, ghosts),
+            )
+        elif rebuild == "always":
+            disp2 = neighbor.max_displacement2(
+                state.x, neigh.x_build[: self.cap_local], state.active,
+                state.box_lo, state.box_hi, self.periodic,
+            )
+            disp2 = jax.lax.pmax(disp2, "x")
+            viol = (disp2 > (0.5 * self.params.skin) ** 2).astype(jnp.int32)
+            state, neigh, ghosts = self._rebuild(state, neigh, ghosts)
+            neigh = neigh.replace(
+                skin_violations=neigh.skin_violations + viol
+            )
+        else:
+            state, neigh, ghosts = self._forward_comm(state, neigh, ghosts)
         state, neigh, aux = self._forces(state, neigh, ghosts)
         state = integrate.final_integrate(state, self.shapes, self.params)
         return state, neigh, ghosts, aux
@@ -576,11 +595,33 @@ def _init_jit(sim: ShardedSimulation, state, neigh, ghosts):
 @partial(jax.jit, static_argnames=("sim", "n_steps"))
 def _run_jit(sim: ShardedSimulation, state, neigh, ghosts, n_steps: int):
     def body(state, neigh, ghosts):
+        R = sim.rebuild_every
+
         def one(carry, _):
             s, n, g = carry
-            s, n, g, _ = sim._local_step(s, n, g)
+            s, n, g, _ = sim._local_step(s, n, g, rebuild="check")
             return (s, n, g), None
 
+        def comm_step(carry, _):
+            s, n, g = carry
+            s, n, g, _ = sim._local_step(s, n, g, rebuild="comm")
+            return (s, n, g), None
+
+        def cadence_block(carry, _):
+            s, n, g = carry
+            s, n, g, _ = sim._local_step(s, n, g, rebuild="always")
+            if R > 1:
+                (s, n, g), _ = jax.lax.scan(
+                    comm_step, (s, n, g), None, length=R - 1
+                )
+            return (s, n, g), None
+
+        if R > 0 and n_steps % R == 0:
+            (state, neigh, ghosts), _ = jax.lax.scan(
+                cadence_block, (state, neigh, ghosts), None,
+                length=n_steps // R,
+            )
+            return state, neigh, ghosts
         (state, neigh, ghosts), _ = jax.lax.scan(
             one, (state, neigh, ghosts), None, length=n_steps
         )
