@@ -95,13 +95,16 @@ def _orthobasis(e):
     return t1, t2
 
 
-def surface_probe(xi, qi, si, type_i, xj, qj, sj, type_j, d, shapes,
-                  exact: bool):
+def surface_probe(qi, si, type_i, qj, sj, type_j,
+                  rb_j, rm_i, rb_i, rc_j, d, shapes, exact: bool):
     """One-sided probe: i's cap-local surface nodes tested against j.
 
-    All args are per-pair (leading dim P). ``d`` is the minimum-image
-    x_j - x_i. Builds the adaptive cap grid on i facing j, evaluates i's
-    own radius there, transforms into j's frame, tests containment.
+    All args are per-pair (leading dim P); rb/rm/rc are the pre-scaled
+    bounding / inscribed / characteristic radii (so no per-pair shape
+    table lookups happen here — TPU gathers are the enemy). ``d`` is the
+    minimum-image x_j - x_i. Builds the adaptive cap grid on i facing j,
+    evaluates i's own radius there, transforms into j's frame, tests
+    containment.
 
     Returns per-pair integrals:
       area [P], vol [P], centroid_num [P,3] (area-weighted, relative to
@@ -117,9 +120,9 @@ def surface_probe(xi, qi, si, type_i, xj, qj, sj, type_j, d, shapes,
     # i's surface (radius in [rmin_i, rmax_i]) can lie inside j's bounding
     # sphere of radius Rj at distance dist. Law of cosines, minimized over
     # the radial interval (optimum at rho* = sqrt(dist^2 - Rj^2)).
-    Rj = shapes.rmax[type_j] * sj
+    Rj = rb_j
     rho_star = jnp.sqrt(jnp.maximum(dist**2 - Rj**2, 0.0))
-    rho_c = jnp.clip(rho_star, shapes.rmin[type_i] * si, shapes.rmax[type_i] * si)
+    rho_c = jnp.clip(rho_star, rm_i, rb_i)
     cos_gmax = (rho_c**2 + dist**2 - Rj**2) / jnp.maximum(
         2.0 * rho_c * dist, 1e-12
     )
@@ -164,7 +167,7 @@ def surface_probe(xi, qi, si, type_i, xj, qj, sj, type_j, d, shapes,
     # separation. w_s is a fixed small fraction of the target's size,
     # so the physics change is negligible (affects only the outermost
     # sliver of the patch).
-    w_smooth = 0.01 * shapes.rchar[type_j][..., None] * sj[..., None]
+    w_smooth = 0.01 * rc_j[..., None]
     depth = jnp.maximum(r_j - rho, 0.0)
     t_in = jnp.clip(depth / w_smooth, 0.0, 1.0)
     s_in = t_in * t_in * (3.0 - 2.0 * t_in)  # C^2 smoothstep
@@ -185,29 +188,72 @@ def surface_probe(xi, qi, si, type_i, xj, qj, sj, type_j, d, shapes,
     return area, vol, centroid_num, normal_num, jnp.max(depth, axis=-1)
 
 
+# Packed per-particle row layout (single row-gather per pair side beats
+# ~15 per-field gathers: TPU has no hardware gather, and small-row
+# gathers dominated the step at scale). Columns:
+ROW_W = 20
+_RX, _RV, _RQ, _ROM = slice(0, 3), slice(3, 6), slice(6, 10), slice(10, 13)
+_RM_, _RRB, _RRM, _RRC, _RS, _RACT = 13, 14, 15, 16, 17, 18
+
+
+def particle_rows(state, shapes, active=None):
+    """Pack the per-particle data the pair kernel needs into [N, ROW_W].
+
+    Computed ONCE per step (elementwise; omega per particle instead of
+    per pair); pair access becomes two contiguous row-gathers.
+    """
+    om = rotation.omega_from_angmom(
+        state.q, state.angmom,
+        shapes.inertia_of(state.shtype, state.scale),
+    )
+    m = shapes.mass_of(state.shtype, state.scale)
+    s = state.scale
+    if active is None:
+        active = state.active
+    cols = [
+        state.x, state.v, state.q, om, m[:, None],
+        (shapes.rmax[state.shtype] * s)[:, None],
+        (shapes.rmin[state.shtype] * s)[:, None],
+        (shapes.rchar[state.shtype] * s)[:, None],
+        s[:, None],
+        active[:, None],
+    ]
+    rows = jnp.concatenate([c.astype(state.x.dtype) for c in cols], axis=1)
+    return jnp.pad(rows, ((0, 0), (0, ROW_W - rows.shape[1])))
+
+
 @partial(jax.jit, static_argnames=("exact", "periodic"))
-def pair_contact(
-    x_i, v_i, q_i, om_i, s_i, t_i, m_i,
-    x_j, v_j, q_j, om_j, s_j, t_j, m_j,
-    hist, pair_mask, box_lo, box_hi, shapes, params,
-    exact: bool = False, periodic=(False, False, False),
-):
-    """Full contact law for a batch of P candidate pairs.
+def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
+                      box_lo, box_hi, shapes, params,
+                      exact: bool = False, periodic=(False, False, False)):
+    """Full contact law for a batch of P candidate pairs (row inputs).
 
     Returns (force_on_i [P,3], torque_on_i [P,3], new_hist [P,3],
     pe [P], in_contact [P], rij [P,3]).
     """
+    x_i, v_i, q_i, om_i = (rows_i[:, _RX], rows_i[:, _RV],
+                           rows_i[:, _RQ], rows_i[:, _ROM])
+    x_j, v_j, q_j, om_j = (rows_j[:, _RX], rows_j[:, _RV],
+                           rows_j[:, _RQ], rows_j[:, _ROM])
+    m_i, m_j = rows_i[:, _RM_], rows_j[:, _RM_]
+    rb_i, rb_j = rows_i[:, _RRB], rows_j[:, _RRB]
+    rm_i, rm_j = rows_i[:, _RRM], rows_j[:, _RRM]
+    rc_i, rc_j = rows_i[:, _RRC], rows_j[:, _RRC]
+    s_i, s_j = rows_i[:, _RS], rows_j[:, _RS]
+
     d = minimum_image(x_j - x_i, box_lo, box_hi, periodic)
     dist = jnp.linalg.norm(d, axis=-1)
-    rsum = shapes.rmax[t_i] * s_i + shapes.rmax[t_j] * s_j
+    rsum = rb_i + rb_j
     cull = pair_mask & (dist < rsum) & (dist > 1e-12)
 
     # Both-sided probes (i's nodes in j, j's nodes in i).
     a1, v1, c1, n1, dep1 = surface_probe(
-        x_i, q_i, s_i, t_i, x_j, q_j, s_j, t_j, d, shapes, exact
+        q_i, s_i, t_i, q_j, s_j, t_j, rb_j, rm_i, rb_i, rc_j,
+        d, shapes, exact
     )
     a2, v2, c2, n2, dep2 = surface_probe(
-        x_j, q_j, s_j, t_j, x_i, q_i, s_i, t_i, -d, shapes, exact
+        q_j, s_j, t_j, q_i, s_i, t_i, rb_i, rm_j, rb_j, rc_i,
+        -d, shapes, exact
     )
     # c2/n2 are relative to x_j and give i's outward normals; fold back.
     area = 0.5 * (a1 + a2)
@@ -229,10 +275,7 @@ def pair_contact(
     in_contact = cull & (area > 0)
     delta = jnp.where(in_contact, 2.0 * vol / jnp.maximum(area, 1e-12), 0.0)
 
-    r_eff = (
-        shapes.rchar[t_i] * s_i * shapes.rchar[t_j] * s_j
-        / jnp.maximum(shapes.rchar[t_i] * s_i + shapes.rchar[t_j] * s_j, 1e-12)
-    )
+    r_eff = rc_i * rc_j / jnp.maximum(rc_i + rc_j, 1e-12)
     m_eff = m_i * m_j / jnp.maximum(m_i + m_j, 1e-30)
     poly = jnp.sqrt(jnp.maximum(delta * r_eff, 0.0))
 
@@ -281,6 +324,32 @@ def pair_contact(
     return force, torque, xi, pe, in_contact, d
 
 
+@partial(jax.jit, static_argnames=("exact", "periodic"))
+def pair_contact(
+    x_i, v_i, q_i, om_i, s_i, t_i, m_i,
+    x_j, v_j, q_j, om_j, s_j, t_j, m_j,
+    hist, pair_mask, box_lo, box_hi, shapes, params,
+    exact: bool = False, periodic=(False, False, False),
+):
+    """Field-argument wrapper over pair_contact_rows (tests/back-compat)."""
+    def pack(x, v, q, om, s, t, m):
+        rows = jnp.concatenate([
+            x, v, q, om, m[:, None],
+            (shapes.rmax[t] * s)[:, None],
+            (shapes.rmin[t] * s)[:, None],
+            (shapes.rchar[t] * s)[:, None],
+            s[:, None],
+        ], axis=1).astype(x.dtype)
+        return jnp.pad(rows, ((0, 0), (0, ROW_W - rows.shape[1])))
+
+    return pair_contact_rows(
+        pack(x_i, v_i, q_i, om_i, s_i, t_i, m_i),
+        pack(x_j, v_j, q_j, om_j, s_j, t_j, m_j),
+        t_i, t_j, hist, pair_mask, box_lo, box_hi, shapes, params,
+        exact=exact, periodic=periodic,
+    )
+
+
 def gather_particle(state, shapes, idx):
     """Gather per-particle fields at indices idx (any shape)."""
     om = rotation.omega_from_angmom(
@@ -310,20 +379,21 @@ def contact_force_dense(state, shapes, params, neigh,
     """
     N, K = neigh.idx.shape
     i_idx = jnp.broadcast_to(jnp.arange(N)[:, None], (N, K))
+    rows = particle_rows(state, shapes)
 
     def run(block):
-        ii, jj, msk, hist = block
-        gi = gather_particle(state, shapes, ii)
-        gj = gather_particle(state, shapes, jj)
-        msk = msk & state.active[ii] & state.active[jj]
-        return pair_contact(
-            gi[0], gi[1], gi[2], gi[3], gi[4], gi[5], gi[6],
-            gj[0], gj[1], gj[2], gj[3], gj[4], gj[5], gj[6],
-            hist, msk, state.box_lo, state.box_hi, shapes, params,
+        ri, rj, ti, tj, msk, hist = block
+        msk = msk & (ri[:, _RACT] > 0.5) & (rj[:, _RACT] > 0.5)
+        return pair_contact_rows(
+            ri, rj, ti, tj, hist, msk,
+            state.box_lo, state.box_hi, shapes, params,
             exact=exact, periodic=periodic,
         )
 
-    blocks = (i_idx.reshape(-1), neigh.idx.reshape(-1),
+    flat_i = i_idx.reshape(-1)
+    flat_j = neigh.idx.reshape(-1)
+    blocks = (rows[flat_i], rows[flat_j],
+              state.shtype[flat_i], state.shtype[flat_j],
               neigh.mask.reshape(-1), neigh.hist.reshape(-1, 3))
     if chunk and N * K > chunk:
         n_chunks = -(-N * K // chunk)
@@ -375,26 +445,28 @@ def contact_force_compact(state, shapes, params, neigh,
     track it like a neighbor-list overflow.
     """
     N, K = neigh.idx.shape
-    i_idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, K))
     j_idx = neigh.idx
 
-    # Broad phase over the dense tensor (cheap: [N,K] elementwise).
-    d = minimum_image(
-        state.x[j_idx] - state.x[:, None, :], state.box_lo, state.box_hi,
-        periodic,
-    )
-    dist = jnp.linalg.norm(d, axis=-1)
-    rsum = (
-        shapes.rmax[state.shtype[i_idx]] * state.scale[i_idx]
-        + shapes.rmax[state.shtype[j_idx]] * state.scale[j_idx]
-    )
+    # One packed row table; all pair access is contiguous row-gathers
+    # (per-field gathers measured ~0.4 s/step at n=20k — TPU has no
+    # hardware gather, so gather COUNT is what matters).
     if owned is None:
         owned = state.active
+    rows = particle_rows(state, shapes)
+    rows_j_nk = rows[j_idx]  # [N, K, ROW_W]: the single broad-phase gather
+
+    # Broad phase over the dense tensor (elementwise from rows).
+    d = minimum_image(
+        rows_j_nk[..., _RX] - rows[:, None, _RX],
+        state.box_lo, state.box_hi, periodic,
+    )
+    dist2 = jnp.sum(d * d, axis=-1)
+    rsum = rows[:, None, _RRB] + rows_j_nk[..., _RRB]
     cand = (
         neigh.mask
-        & (dist < rsum)
-        & owned[i_idx]
-        & state.active[j_idx]
+        & (dist2 < rsum * rsum)
+        & owned[:, None]
+        & (rows_j_nk[..., _RACT] > 0.5)
     )
     flat_cand = cand.reshape(-1)
     n_candidates = jnp.sum(flat_cand.astype(jnp.int32))
@@ -407,17 +479,18 @@ def contact_force_compact(state, shapes, params, neigh,
     sel = order[:pair_cap]
     psel_valid = flat_cand[sel]
     pi = (sel // K).astype(jnp.int32)
-    pk = (sel % K).astype(jnp.int32)
     pj = j_idx.reshape(-1)[sel]
 
+    rows_i_p = rows[pi]
+    rows_j_p = rows_j_nk.reshape(N * K, ROW_W)[sel]
+    ti_p = state.shtype[pi]
+    tj_p = state.shtype[pj]
+
     def run(block):
-        ii, jj, msk, hist = block
-        gi = gather_particle(state, shapes, ii)
-        gj = gather_particle(state, shapes, jj)
-        return pair_contact(
-            gi[0], gi[1], gi[2], gi[3], gi[4], gi[5], gi[6],
-            gj[0], gj[1], gj[2], gj[3], gj[4], gj[5], gj[6],
-            hist, msk, state.box_lo, state.box_hi, shapes, params,
+        ri, rj, ti, tj, msk, hist = block
+        return pair_contact_rows(
+            ri, rj, ti, tj, hist, msk,
+            state.box_lo, state.box_hi, shapes, params,
             exact=exact, periodic=periodic,
         )
 
@@ -451,7 +524,8 @@ def contact_force_compact(state, shapes, params, neigh,
         virial = -0.5 * jnp.einsum("pa,pb->ab", dp, force)
         return f, tau, hist, pe_total, virial, n_candidates
 
-    blocks = (pi, pj, psel_valid, neigh.hist.reshape(-1, 3)[sel])
+    blocks = (rows_i_p, rows_j_p, ti_p, tj_p, psel_valid,
+              neigh.hist.reshape(-1, 3)[sel])
     if chunk and pair_cap > chunk:
         n_chunks = -(-pair_cap // chunk)
         pad = n_chunks * chunk - pair_cap

@@ -415,38 +415,25 @@ def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
     return out[:P]
 
 
-def pack_pairs(state, shapes, params, pi, pj, mask, hist, d):
-    """Build the kernel inputs from gathered pair data (XLA-side)."""
-    def g(field, idx):
-        return getattr(state, field)[idx]
+def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None):
+    """Build the kernel inputs from the packed particle-row table.
 
-    from spherharm_tpu.ops.rotation import omega_from_angmom
+    The first 17 columns of ``contact.particle_rows`` (x, v, q, om, m,
+    rb, rm, rc) match the per-side _SLOTS layout exactly, so each side is
+    one contiguous row-gather + slice — no per-field gathers (the TPU
+    gather-count lesson, see ops/contact.py).
+    """
+    from spherharm_tpu.ops import contact as contact_mod
 
-    cols = []
-
-    def put(arr, width):
-        a = arr if arr.ndim == 2 else arr[:, None]
-        assert a.shape[1] == width
-        cols.append(a.astype(jnp.float32))
-
-    for idx in (pi, pj):
-        s = state.scale[idx]
-        t = state.shtype[idx]
-        om = omega_from_angmom(
-            state.q[idx], state.angmom[idx], shapes.inertia_of(t, s)
-        )
-        put(state.x[idx], 3)
-        put(state.v[idx], 3)
-        put(state.q[idx], 4)
-        put(om, 3)
-        put(shapes.mass_of(t, s), 1)
-        put(shapes.rmax[t] * s, 1)
-        put(shapes.rmin[t] * s, 1)
-        put(shapes.rchar[t] * s, 1)
-    put(hist, 3)
-    put(mask.astype(jnp.float32), 1)
-    put(d, 3)
-    packed = jnp.concatenate(cols, axis=1)
+    if rows is None:
+        rows = contact_mod.particle_rows(state, shapes)
+    ri = rows[pi][:, :17].astype(jnp.float32)
+    rj = rows[pj][:, :17].astype(jnp.float32)
+    packed = jnp.concatenate(
+        [ri, rj, hist.astype(jnp.float32),
+         mask.astype(jnp.float32)[:, None], d.astype(jnp.float32)],
+        axis=1,
+    )
     packed = jnp.pad(packed, ((0, 0), (0, _F - packed.shape[1])))
     ci = shapes.coeffs[state.shtype[pi]] * state.scale[pi][:, None]
     cj = shapes.coeffs[state.shtype[pj]] * state.scale[pj][:, None]
