@@ -58,6 +58,7 @@ class Simulation:
         use_pallas: bool = False,
         press_control: bool = False,
         rebuild_every: int = 0,
+        wall_capacity: int = 0,
         gravity_pe_origin=(0.0, 0.0, 0.0),
     ):
         self.shapes = shapes
@@ -81,6 +82,7 @@ class Simulation:
         self.use_pallas = bool(use_pallas)
         self.press_control = bool(press_control)
         self.rebuild_every = int(rebuild_every)
+        self.wall_capacity = int(wall_capacity)
         self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
         if neighbor_mode == "cell" and grid is None:
             raise ValueError("neighbor_mode='cell' requires a CellGrid")
@@ -171,13 +173,20 @@ class Simulation:
         pe_wall = jnp.zeros((), f.dtype)
         wall_hists = []
         for w_i, wall in enumerate(self.walls):
-            wf, wt, whist, wpe = walls_mod.wall_contact(
-                state, self.shapes, self.params, wall, neigh.wall_hist[:, w_i]
+            wf, wt, whist, wpe, n_near = walls_mod.wall_contact(
+                state, self.shapes, self.params, wall,
+                neigh.wall_hist[:, w_i], wall_cap=self.wall_capacity,
+                exact=self.exact_eval,
             )
             f = f + wf
             tau = tau + wt
             pe_wall = pe_wall + jnp.sum(wpe)
             wall_hists.append(whist)
+            if self.wall_capacity:
+                neigh = neigh.replace(overflow=jnp.maximum(
+                    neigh.overflow,
+                    jnp.where(n_near > self.wall_capacity, n_near, 0),
+                ))
         if wall_hists:
             neigh = neigh.replace(
                 wall_hist=jnp.stack(wall_hists, axis=1)

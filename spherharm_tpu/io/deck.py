@@ -22,6 +22,7 @@ Supported commands (LAMMPS syntax; unknown commands raise):
   pair_style spherharm <kn> <kt> <gamma_n> <gamma_t> <mu> [lmax <L>]
   pair_coeff * *
   neighbor <skin> bin
+  neigh_modify every <N> check {yes|no}
   fix <id> all nve/sh
   fix <id> all gravity <g> vector <x> <y> <z>
   fix <id> all wall/gran plane <px> <py> <pz> <nx> <ny> <nz>
@@ -83,6 +84,7 @@ class DeckRunner:
         self.deform_rate = (0.0, 0.0, 0.0)
         self.press_target = 0.0
         self.press_tau = 0.0
+        self.rebuild_every = 0
         self.walls = []
         self.fixes = []
         self.thermo_every = 0
@@ -250,6 +252,15 @@ class DeckRunner:
     def cmd_neighbor(self, a):
         self.skin = float(a[0])
 
+    def cmd_neigh_modify(self, a):
+        # "every N check no" -> static cadence; "check yes" -> triggered.
+        every = 0
+        if "every" in a:
+            every = int(a[a.index("every") + 1])
+        if "check" in a and a[a.index("check") + 1] == "yes":
+            every = 0
+        self.rebuild_every = every
+
     def cmd_fix(self, a):
         style = a[2]
         if style in ("nve/sh", "nve/spherharm", "nve"):
@@ -363,6 +374,7 @@ class DeckRunner:
             walls=tuple(self.walls),
             pair_capacity=max(4 * n, 512),
             press_control=self.press_tau > 0,
+            rebuild_every=self.rebuild_every,
         )
         self.state, self.neigh = self.sim.init_neighbors(state)
 

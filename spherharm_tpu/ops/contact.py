@@ -23,14 +23,17 @@ Method (both-sides symmetric, Newton's third law by construction):
     inside_k = rho_k < r_jk;   depth_k = r_jk - rho_k
   (and the mirrored pass with i/j swapped)
 
-  A  = sum inside * dA          (contact patch area, both sides averaged)
-  V  = sum inside * dA * depth  (overlap volume, radial-column measure)
-  c  = area-weighted centroid of inside nodes (both sides)
-  n  = normalized area-weighted mean of the *other* particle's outward
+  S1 = sum dA * depth           (overlap volume measure, both sides)
+  S2 = sum dA * depth^2         (second depth moment)
+  c  = depth-volume-weighted contact centroid (both sides)
+  n  = normalized depth-weighted mean of the *other* particle's outward
        surface normal (points from j toward i)
-  delta = 2 V / A               # smooth overlap depth; exact for the
-                                # sphere-sphere lens: V ~ pi R_eff d^2,
-                                # A ~ 2 pi R_eff d  =>  2V/A = d
+  delta = 1.5 * S2 / S1         # smooth overlap depth; EXACT for the
+                                # sphere-sphere lens (paraboloid depth
+                                # profile has S2/S1 = (2/3) delta), and
+                                # C^1 in the separation with NO
+                                # containment indicator (kink-free:
+                                # integrands vanish at the patch rim)
 
   Hertz + history friction (LAMMPS gran/hertz/history law):
     poly = sqrt(delta * R_eff)
@@ -39,10 +42,11 @@ Method (both-sides symmetric, Newton's third law by construction):
     |F_t| <= mu |F_n|  (Coulomb cap, spring rescaled on saturation)
     tau_i += (c - x_i) x F;  equal/opposite on j via the full neighbor list.
 
-The smooth 2V/A overlap (instead of max node depth) is the key TPU-side
-numerical choice: it turns the non-smooth discrete-node max into a
-quadrature integral, suppressing node-discretization force noise as
-particles rotate.
+The smooth depth-moment overlap (instead of max node depth or an
+indicator-based area) is the key numerical choice: forces are smooth
+functions of the geometry, so node-discretization noise and
+node-crossing kinks (which velocity-Verlet rectifies into energy drift)
+are absent by construction.
 """
 
 from __future__ import annotations
@@ -79,6 +83,29 @@ def eval_radius(shapes, types, theta, phi, exact: bool):
     if exact:
         c = shapes.coeffs[types]  # [P, NC]
         return sh_math.radius_grad_streaming(c, theta, phi, shapes.lmax)
+    return sh_math.interp_radius_batched(shapes.table, types, theta, phi)
+
+
+def _unit_trig(u):
+    """(cos t, sin t, cos p, sin p) of unit vectors u[..., 3] — no angles.
+
+    Saves arccos/arctan2 + sin/cos per node (4+ transcendentals) in the
+    hot loop; also the form Mosaic can lower (no acos primitive).
+    """
+    ct = jnp.clip(u[..., 2], -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(u[..., 0] ** 2 + u[..., 1] ** 2, 1e-24))
+    inv = 1.0 / jnp.maximum(st, 1e-12)
+    return ct, st, u[..., 0] * inv, u[..., 1] * inv
+
+
+def eval_radius_trig(shapes, types, ct, st, cp, sp, exact: bool):
+    """Trig-component twin of eval_radius."""
+    if exact:
+        c = shapes.coeffs[types]
+        return sh_math.radius_grad_streaming_trig(c, ct, st, cp, sp,
+                                                  shapes.lmax)
+    theta = jnp.arccos(ct)
+    phi = jnp.arctan2(sp, cp)
     return sh_math.interp_radius_batched(shapes.table, types, theta, phi)
 
 
@@ -138,13 +165,16 @@ def surface_probe(qi, si, type_i, qj, sj, type_j,
         + (sin_g * shapes.cap_cpsi)[..., None] * t1[..., None, :]
         + (sin_g * shapes.cap_spsi)[..., None] * t2[..., None, :]
     )
-    theta_i, phi_i = angles_from_unit(dirs)
+    ct_i, st_i, cp_i, sp_i = _unit_trig(dirs)
 
     # i's own surface at the cap nodes.
-    r_i, drt_i, drp_i = eval_radius(shapes, type_i, theta_i, phi_i, exact)
+    r_i, drt_i, drp_i = eval_radius_trig(
+        shapes, type_i, ct_i, st_i, cp_i, sp_i, exact
+    )
     r_i = r_i * si[..., None]
-    n_i = sh_math.surface_normal(
-        r_i, drt_i * si[..., None], drp_i * si[..., None], theta_i, phi_i
+    n_i = sh_math.surface_normal_trig(
+        r_i, drt_i * si[..., None], drp_i * si[..., None],
+        ct_i, st_i, cp_i, sp_i,
     )
     cos_incl = jnp.clip(jnp.sum(n_i * dirs, axis=-1), 0.05, 1.0)
     w_solid = one_m * shapes.cap_glw[None, :]  # dOmega weights
@@ -155,37 +185,37 @@ def surface_probe(qi, si, type_i, qj, sj, type_j,
     u = quat_rotate_inv(qj[..., None, :], rel_i - d[..., None, :])
     rho = jnp.linalg.norm(u, axis=-1)
     u_hat = u / jnp.maximum(rho, 1e-12)[..., None]
-    theta_j, phi_j = angles_from_unit(u_hat)
-    r_j, drt_j, drp_j = eval_radius(shapes, type_j, theta_j, phi_j, exact)
+    ct_j, st_j, cp_j, sp_j = _unit_trig(u_hat)
+    r_j, drt_j, drp_j = eval_radius_trig(
+        shapes, type_j, ct_j, st_j, cp_j, sp_j, exact
+    )
     r_j = r_j * sj[..., None]
 
-    # Smoothed containment: a hard indicator makes the effective
-    # potential kink every time a node crosses the surface, and
-    # velocity-Verlet rectifies those kinks into systematic energy gain
-    # (measured ~1e-3/collision). Ramping the weight over a thin
-    # boundary layer w_s makes the overlap integrals C^1 in the
-    # separation. w_s is a fixed small fraction of the target's size,
-    # so the physics change is negligible (affects only the outermost
-    # sliver of the patch).
-    w_smooth = 0.01 * rc_j[..., None]
+    # Depth-moment overlap integrals. No containment indicator at all:
+    # the integrands (depth, depth^2) vanish smoothly at the patch rim,
+    # so the sums are C^1 in the separation — a hard inside/outside
+    # indicator made the force kink whenever a node crossed the surface
+    # and velocity-Verlet rectified that into systematic energy gain
+    # (measured +1e-3/collision); a smoothstep fix traded it for a
+    # w/delta force bias. The depth moments have neither. The overlap
+    # depth is recovered downstream as delta = 1.5*S2/S1, which is EXACT
+    # for the sphere-sphere lens (paraboloid depth profile:
+    # S2/S1 = (2/3) delta).
     depth = jnp.maximum(r_j - rho, 0.0)
-    t_in = jnp.clip(depth / w_smooth, 0.0, 1.0)
-    s_in = t_in * t_in * (3.0 - 2.0 * t_in)  # C^2 smoothstep
-    inside = depth > 0
-    w = s_in * dA
-
-    area = jnp.sum(w, axis=-1)
-    vol = jnp.sum(w * depth, axis=-1)
-    centroid_num = jnp.sum(w[..., None] * rel_i, axis=-2)  # relative to x_i
+    wd = dA * depth
+    s1 = jnp.sum(wd, axis=-1)               # = overlap volume measure
+    s2 = jnp.sum(wd * depth, axis=-1)
+    centroid_num = jnp.sum(wd[..., None] * rel_i, axis=-2)  # rel to x_i
 
     # Outward normal of j at the probe points, j body frame -> world.
-    n_body = sh_math.surface_normal(
-        r_j, drt_j * sj[..., None], drp_j * sj[..., None], theta_j, phi_j
+    n_body = sh_math.surface_normal_trig(
+        r_j, drt_j * sj[..., None], drp_j * sj[..., None],
+        ct_j, st_j, cp_j, sp_j,
     )
     n_world = quat_rotate(qj[..., None, :], n_body)
-    normal_num = jnp.sum(w[..., None] * n_world, axis=-2)
+    normal_num = jnp.sum(wd[..., None] * n_world, axis=-2)
 
-    return area, vol, centroid_num, normal_num, jnp.max(depth, axis=-1)
+    return s1, s2, centroid_num, normal_num, jnp.max(depth, axis=-1)
 
 
 # Packed per-particle row layout (single row-gather per pair side beats
@@ -247,33 +277,31 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
     cull = pair_mask & (dist < rsum) & (dist > 1e-12)
 
     # Both-sided probes (i's nodes in j, j's nodes in i).
-    a1, v1, c1, n1, dep1 = surface_probe(
+    s1a, s2a, c1, n1, dep1 = surface_probe(
         q_i, s_i, t_i, q_j, s_j, t_j, rb_j, rm_i, rb_i, rc_j,
         d, shapes, exact
     )
-    a2, v2, c2, n2, dep2 = surface_probe(
+    s1b, s2b, c2, n2, dep2 = surface_probe(
         q_j, s_j, t_j, q_i, s_i, t_i, rb_i, rm_j, rb_j, rc_i,
         -d, shapes, exact
     )
-    # c2/n2 are relative to x_j and give i's outward normals; fold back.
-    area = 0.5 * (a1 + a2)
-    vol = 0.5 * (v1 + v2)
-    w1 = a1[..., None]
-    w2 = a2[..., None]
-    # centroid relative to x_i: c1 is; (c2 + d) maps j-relative to i-relative.
+    s1 = s1a + s1b
+    s2 = s2a + s2b
+    # centroid relative to x_i: c1 is; (c2 + s1b*d) maps j-rel to i-rel.
     centroid = jnp.where(
-        (a1 + a2 > 0)[..., None],
-        (c1 + c2 + w2 * d) / jnp.maximum(a1 + a2, 1e-12)[..., None],
+        (s1 > 0)[..., None],
+        (c1 + c2 + s1b[..., None] * d) / jnp.maximum(s1, 1e-30)[..., None],
         0.5 * d,
     )
     # Normal pointing from j toward i: j's outward normals (n1) minus i's (n2).
     n_raw = n1 - n2
     n_norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
     d_hat = d / jnp.maximum(dist, 1e-12)[..., None]
-    n_hat = jnp.where(n_norm > 1e-10, n_raw / jnp.maximum(n_norm, 1e-12), -d_hat)
+    n_hat = jnp.where(n_norm > 1e-20, n_raw / jnp.maximum(n_norm, 1e-30), -d_hat)
 
-    in_contact = cull & (area > 0)
-    delta = jnp.where(in_contact, 2.0 * vol / jnp.maximum(area, 1e-12), 0.0)
+    in_contact = cull & (s1 > 0)
+    # Lens-exact smooth overlap depth from the depth moments.
+    delta = jnp.where(in_contact, 1.5 * s2 / jnp.maximum(s1, 1e-30), 0.0)
 
     r_eff = rc_i * rc_j / jnp.maximum(rc_i + rc_j, 1e-12)
     m_eff = m_i * m_j / jnp.maximum(m_i + m_j, 1e-30)

@@ -75,22 +75,21 @@ def _cross3(a, b):
     )
 
 
-def _radius_grad_stream(coef_ref, theta, phi, lmax: int):
-    """Streaming (r, dr/dt, dr/dp); coef_ref: [B, NC] ref, theta/phi [B, G]."""
-    cos_t = jnp.cos(theta)
-    sin_t = jnp.sin(theta)
+def _radius_grad_stream(coef_ref, cos_t, sin_t, cos_p, sin_p, lmax: int):
+    """Streaming (r, dr/dt, dr/dp) from trig components [B, G] (no
+    angle formation: Mosaic has no acos, and it saves transcendentals)."""
     inv_sin = 1.0 / jnp.maximum(jnp.abs(sin_t), 1e-6) * jnp.sign(sin_t + 1e-30)
     sq2 = math.sqrt(2.0)
 
     def coef(n, m):
         return coef_ref[:, sh_index(n, m)][:, None]
 
-    r = jnp.zeros_like(theta)
-    drt = jnp.zeros_like(theta)
-    drp = jnp.zeros_like(theta)
-    c1, s1 = jnp.cos(phi), jnp.sin(phi)
-    cos_m = jnp.ones_like(phi)
-    sin_m = jnp.zeros_like(phi)
+    r = jnp.zeros_like(cos_t)
+    drt = jnp.zeros_like(cos_t)
+    drp = jnp.zeros_like(cos_t)
+    c1, s1 = cos_p, sin_p
+    cos_m = jnp.ones_like(cos_t)
+    sin_m = jnp.zeros_like(cos_t)
     P_mm = jnp.full_like(cos_t, 1.0 / math.sqrt(4.0 * math.pi))
     for m in range(0, lmax + 1):
         if m > 0:
@@ -137,9 +136,7 @@ def _radius_grad_stream(coef_ref, theta, phi, lmax: int):
     return r, drt, drp
 
 
-def _surface_normal(r, drt, drp, theta, phi):
-    st, ct = jnp.sin(theta), jnp.cos(theta)
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
+def _surface_normal(r, drt, drp, ct, st, cp, sp):
     inv_r = 1.0 / jnp.maximum(r, 1e-12)
     inv_rs = inv_r / jnp.maximum(jnp.abs(st), 1e-6)
     a = drt * inv_r
@@ -151,11 +148,11 @@ def _surface_normal(r, drt, drp, theta, phi):
     return nx * inv_n, ny * inv_n, nz * inv_n
 
 
-def _angles(ux, uy, uz):
-    theta = jnp.arccos(jnp.clip(uz, -1.0, 1.0))
-    phi = jnp.arctan2(uy, ux)
-    phi = jnp.where(phi < 0, phi + 2.0 * math.pi, phi)
-    return theta, phi
+def _unit_trig(ux, uy, uz):
+    ct = jnp.clip(uz, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(ux * ux + uy * uy, 1e-24))
+    inv = 1.0 / jnp.maximum(st, 1e-12)
+    return ct, st, ux * inv, uy * inv
 
 
 def _probe(col, ci_or_cj, pre, side, cap, lmax):
@@ -216,9 +213,9 @@ def _probe(col, ci_or_cj, pre, side, cap, lmax):
     diry = cos_g * ey + sc * t1y + ss * t2y
     dirz = cos_g * ez + sc * t1z + ss * t2z
 
-    th_a, ph_a = _angles(dirx, diry, dirz)
-    r_a, drt_a, drp_a = _radius_grad_stream(c_a, th_a, ph_a, lmax)
-    na = _surface_normal(r_a, drt_a, drp_a, th_a, ph_a)
+    ct_a, st_a, cp_a, sp_a = _unit_trig(dirx, diry, dirz)
+    r_a, drt_a, drp_a = _radius_grad_stream(c_a, ct_a, st_a, cp_a, sp_a, lmax)
+    na = _surface_normal(r_a, drt_a, drp_a, ct_a, st_a, cp_a, sp_a)
     cos_incl = jnp.clip(dirx * na[0] + diry * na[1] + dirz * na[2], 0.05, 1.0)
     w_solid = one_m * cap_glw
     dA = w_solid * r_a * r_a / cos_incl
@@ -231,32 +228,28 @@ def _probe(col, ci_or_cj, pre, side, cap, lmax):
         jnp.maximum(u[0] * u[0] + u[1] * u[1] + u[2] * u[2], 1e-24)
     )
     inv_rho = 1.0 / rho
-    th_b, ph_b = _angles(u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho)
-    r_b, drt_b, drp_b = _radius_grad_stream(c_b, th_b, ph_b, lmax)
+    ct_b, st_b, cp_b, sp_b = _unit_trig(
+        u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho
+    )
+    r_b, drt_b, drp_b = _radius_grad_stream(c_b, ct_b, st_b, cp_b, sp_b, lmax)
 
-    # Smoothed containment weight (see ops/contact.py: kink-free overlap
-    # integrals for energy conservation).
-    if side == "ij":
-        w_smooth = 0.01 * col("rcj")
-    else:
-        w_smooth = 0.01 * col("rci")
+    # Depth-moment overlap integrals (see ops/contact.py: no containment
+    # indicator — kink-free and lens-exact via delta = 1.5*S2/S1).
     depth = jnp.maximum(r_b - rho, 0.0)
-    t_in = jnp.clip(depth / w_smooth, 0.0, 1.0)
-    s_in = t_in * t_in * (3.0 - 2.0 * t_in)  # C^2 smoothstep
-    w = s_in * dA
+    wd = dA * depth
 
-    area = jnp.sum(w, axis=1, keepdims=True)
-    vol = jnp.sum(w * depth, axis=1, keepdims=True)
-    cx = jnp.sum(w * rel[0], axis=1, keepdims=True)
-    cy = jnp.sum(w * rel[1], axis=1, keepdims=True)
-    cz = jnp.sum(w * rel[2], axis=1, keepdims=True)
+    s1 = jnp.sum(wd, axis=1, keepdims=True)
+    s2 = jnp.sum(wd * depth, axis=1, keepdims=True)
+    cx = jnp.sum(wd * rel[0], axis=1, keepdims=True)
+    cy = jnp.sum(wd * rel[1], axis=1, keepdims=True)
+    cz = jnp.sum(wd * rel[2], axis=1, keepdims=True)
 
-    nb = _surface_normal(r_b, drt_b, drp_b, th_b, ph_b)
+    nb = _surface_normal(r_b, drt_b, drp_b, ct_b, st_b, cp_b, sp_b)
     nw = _rot(q_b, nb)
-    nxs = jnp.sum(w * nw[0], axis=1, keepdims=True)
-    nys = jnp.sum(w * nw[1], axis=1, keepdims=True)
-    nzs = jnp.sum(w * nw[2], axis=1, keepdims=True)
-    return area, vol, (cx, cy, cz), (nxs, nys, nzs)
+    nxs = jnp.sum(wd * nw[0], axis=1, keepdims=True)
+    nys = jnp.sum(wd * nw[1], axis=1, keepdims=True)
+    nzs = jnp.sum(wd * nw[2], axis=1, keepdims=True)
+    return s1, s2, (cx, cy, cz), (nxs, nys, nzs)
 
 
 def _make_kernel(lmax: int):
@@ -283,27 +276,27 @@ def _make_kernel(lmax: int):
         rsum = col("rbi") + col("rbj")
         cull = (col("mask") > 0.5) & (dist < rsum) & (dist > 1e-12)
 
-        a1, v1, c1, n1 = _probe(col, (ci_ref, cj_ref), pre, "ij", cap, lmax)
-        a2, v2, c2, n2 = _probe(col, (ci_ref, cj_ref), pre, "ji", cap, lmax)
+        s1a, s2a, c1, n1 = _probe(col, (ci_ref, cj_ref), pre, "ij", cap, lmax)
+        s1b, s2b, c2, n2 = _probe(col, (ci_ref, cj_ref), pre, "ji", cap, lmax)
 
-        area = 0.5 * (a1 + a2)
-        vol = 0.5 * (v1 + v2)
-        denom = jnp.maximum(a1 + a2, 1e-12)
-        # c2 is relative to x_j; fold into i-relative via + a2*d.
+        s1 = s1a + s1b
+        s2 = s2a + s2b
+        denom = jnp.maximum(s1, 1e-30)
+        # c2 is relative to x_j; fold into i-relative via + s1b*d.
         cen = tuple(
-            jnp.where(a1 + a2 > 0, (c1[k] + c2[k] + a2 * d[k]) / denom,
+            jnp.where(s1 > 0, (c1[k] + c2[k] + s1b * d[k]) / denom,
                       0.5 * d[k])
             for k in range(3)
         )
         nraw = tuple(n1[k] - n2[k] for k in range(3))
-        nn = jnp.sqrt(jnp.maximum(_dot3(nraw, nraw), 1e-24))
+        nn = jnp.sqrt(jnp.maximum(_dot3(nraw, nraw), 1e-40))
         d_hat = tuple(d[k] * inv_dist for k in range(3))
         n_hat = tuple(
-            jnp.where(nn > 1e-10, nraw[k] / nn, -d_hat[k]) for k in range(3)
+            jnp.where(nn > 1e-20, nraw[k] / nn, -d_hat[k]) for k in range(3)
         )
 
-        in_contact = cull & (area > 0)
-        delta = jnp.where(in_contact, 2.0 * vol / jnp.maximum(area, 1e-12), 0.0)
+        in_contact = cull & (s1 > 0)
+        delta = jnp.where(in_contact, 1.5 * s2 / denom, 0.0)
 
         rci, rcj = col("rci"), col("rcj")
         r_eff = rci * rcj / jnp.maximum(rci + rcj, 1e-12)

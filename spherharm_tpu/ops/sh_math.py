@@ -177,33 +177,46 @@ def real_sh_basis_grad(theta, phi, lmax: int):
 def radius_grad_streaming(coeffs, theta, phi, lmax: int):
     """Radius + angular gradients with immediate coefficient contraction.
 
+    Angle-API wrapper over ``radius_grad_streaming_trig`` (tests and
+    generic callers); the hot loop feeds trig components directly.
+    """
+    return radius_grad_streaming_trig(
+        coeffs, jnp.cos(theta), jnp.sin(theta), jnp.cos(phi), jnp.sin(phi),
+        lmax,
+    )
+
+
+@partial(jax.jit, static_argnames=("lmax",))
+def radius_grad_streaming_trig(coeffs, cos_t, sin_t, cos_p, sin_p, lmax: int):
+    """Radius + angular gradients with immediate coefficient contraction.
+
     Equivalent to contracting ``real_sh_basis_grad`` against per-element
     coefficients, but each (n, m) term is multiplied into the running
     (r, dr/dt, dr/dp) sums as it is produced — no [..., NC] basis tensor
-    is ever materialized. This is the memory-sane exact path for the hot
-    loop (and the form used inside the Pallas kernel).
+    is ever materialized. Takes TRIG COMPONENTS directly: the hot loop
+    derives (cos t, sin t, cos p, sin p) from unit direction vectors
+    without ever forming the angles (no arccos/arctan2 — also required
+    by the Mosaic/Pallas lowering, which has no acos).
 
-    coeffs: [..., NC] broadcastable against theta[...]'s leading dims
-    (typically coeffs [P, NC] with theta [P, G] -> per-pair coefficient
+    coeffs: [..., NC] broadcastable against cos_t[...]'s leading dims
+    (typically coeffs [P, NC] with cos_t [P, G] -> per-pair coefficient
     columns broadcast along G).
-    Returns (r, dr_dt, dr_dp) shaped like theta.
+    Returns (r, dr_dt, dr_dp) shaped like cos_t.
     """
-    cos_t = jnp.cos(theta)
-    sin_t = jnp.sin(theta)
     inv_sin = 1.0 / jnp.maximum(jnp.abs(sin_t), 1e-6) * jnp.sign(sin_t + 1e-30)
     sq2 = math.sqrt(2.0)
 
     def coef(n, m):
         c = coeffs[..., sh_index(n, m)]
-        return c[..., None] if coeffs.ndim == theta.ndim else c
+        return c[..., None] if coeffs.ndim == cos_t.ndim else c
 
-    r = jnp.zeros_like(theta)
-    drt = jnp.zeros_like(theta)
-    drp = jnp.zeros_like(theta)
+    r = jnp.zeros_like(cos_t)
+    drt = jnp.zeros_like(cos_t)
+    drp = jnp.zeros_like(cos_t)
 
-    c1, s1 = jnp.cos(phi), jnp.sin(phi)
-    cos_m_prev = jnp.ones_like(phi)
-    sin_m_prev = jnp.zeros_like(phi)
+    c1, s1 = cos_p, sin_p
+    cos_m_prev = jnp.ones_like(cos_t)
+    sin_m_prev = jnp.zeros_like(cos_t)
 
     # March over m (diagonal-first): for each m, walk n = m .. lmax with
     # the three-term recurrence, touching only two P-columns at a time.
@@ -462,13 +475,19 @@ def interp_radius_batched(tables, types, theta, phi):
 
 
 def surface_normal(r, dr_dt, dr_dp, theta, phi):
+    """Angle-API wrapper over surface_normal_trig."""
+    return surface_normal_trig(
+        r, dr_dt, dr_dp,
+        jnp.cos(theta), jnp.sin(theta), jnp.cos(phi), jnp.sin(phi),
+    )
+
+
+def surface_normal_trig(r, dr_dt, dr_dp, ct, st, cp, sp):
     """Outward unit normal of the surface p = r(theta,phi) * e_r.
 
     n_unnorm = e_r - (dr/dtheta / r) e_theta - (dr/dphi / (r sin t)) e_phi.
-    Returns [..., 3] unit normals in the same frame as (theta, phi).
+    Returns [..., 3] unit normals; takes trig components directly.
     """
-    st, ct = jnp.sin(theta), jnp.cos(theta)
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
     e_r = jnp.stack([st * cp, st * sp, ct], axis=-1)
     e_t = jnp.stack([ct * cp, ct * sp, -st], axis=-1)
     e_p = jnp.stack([-sp, cp, jnp.zeros_like(sp)], axis=-1)

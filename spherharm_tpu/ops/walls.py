@@ -91,43 +91,118 @@ class CylinderWall:
         )
 
 
-def wall_contact(state, shapes, params, wall, hist):
+def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
+                 exact: bool | None = None):
     """Hertz/friction contact of every particle against one wall.
 
     hist: [N, 3] tangential springs for this wall.
     Returns (force [N,3], torque [N,3], new_hist [N,3], pe [N]).
+
+    wall_cap > 0: broad-phase compaction — only the (up to wall_cap)
+    particles whose bounding sphere reaches the wall enter the [*, G]
+    narrow phase; results scatter back. In a drum/box most particles are
+    in the bulk, so this removes ~80-95%% of the per-step wall work.
     """
+    if wall_cap and wall_cap < state.cap:
+        depth_c, _ = wall.depth_and_normal(state.x)
+        rmax_all = shapes.rmax[state.shtype] * state.scale
+        near_all = state.active & (depth_c > -rmax_all)
+        score = jnp.where(near_all, 1.0, 0.0)
+        _, sel = jax.lax.top_k(score, wall_cap)
+        sel_ok = jnp.take(near_all, sel)
+        n_near = jnp.sum(near_all.astype(jnp.int32))
+        sub = state.replace(
+            x=state.x[sel], v=state.v[sel], q=state.q[sel],
+            angmom=state.angmom[sel], scale=state.scale[sel],
+            shtype=state.shtype[sel], active=sel_ok,
+            f=state.f[:wall_cap], tau=state.tau[:wall_cap],
+            tag=state.tag[sel], image=state.image[:wall_cap],
+        )
+        fw, tw, hw, pew, _ = wall_contact(sub, shapes, params, wall,
+                                          hist[sel], exact=exact)
+        # Overflow guard: if more near-wall particles than capacity, the
+        # extras silently get no wall force — flag via a huge pe marker
+        # is avoided; instead callers size wall_cap from geometry. Keep a
+        # debug-visible count by folding it into pe[0] gradient-free? No:
+        # return it via the overflow channel of the caller (see
+        # Simulation.compute_forces).
+        z3 = jnp.zeros((state.cap, 3), state.x.dtype)
+        force = z3.at[sel].add(jnp.where(sel_ok[:, None], fw, 0.0))
+        torque = z3.at[sel].add(jnp.where(sel_ok[:, None], tw, 0.0))
+        new_hist = (
+            jnp.zeros((state.cap, 3), state.x.dtype)
+            .at[sel]
+            .set(jnp.where(sel_ok[:, None], hw, 0.0))
+        )
+        pe = jnp.zeros((state.cap,), state.x.dtype).at[sel].add(
+            jnp.where(sel_ok, pew, 0.0)
+        )
+        return force, torque, new_hist, pe, n_near
+
+    from spherharm_tpu.ops.contact import _unit_trig, eval_radius_trig
+    from spherharm_tpu.ops.rotation import quat_rotate_inv
+    from spherharm_tpu.ops.sh_math import surface_normal_trig
+
     # Broad phase: bounding sphere vs wall.
     depth_c, n_c = wall.depth_and_normal(state.x)
     rmax = shapes.rmax[state.shtype] * state.scale
     near = state.active & (depth_c > -rmax)
 
-    # Surface nodes in world frame: [N, G, 3].
-    nodes_body = (
-        shapes.node_r[state.shtype][..., None] * shapes.quad_dirs[None, :, :]
-    ) * state.scale[:, None, None]
-    rel = quat_rotate(state.q[:, None, :], nodes_body)
+    # Patch-local adaptive cap grid toward the wall (same scheme as the
+    # pair kernel, ops/contact.py): a fixed full-surface node set cannot
+    # resolve shallow wall patches (rest depths ~0.2% R), the cap can.
+    # Only surface directions with r(u) * cos(gamma) > center-to-wall
+    # distance can penetrate; bound with r <= rmax.
+    e_world = -n_c  # from particle center toward the wall
+    e_body = quat_rotate_inv(state.q, e_world)
+    dist_w = -depth_c  # center distance to the wall surface (+ inside)
+    cos_gmax = jnp.clip(dist_w / jnp.maximum(rmax, 1e-12), -1.0, 1.0 - 1e-6)
+    one_m = (1.0 - cos_gmax)[:, None]
+    cos_g = 1.0 - one_m * shapes.cap_x[None, :]
+    sin_g = jnp.sqrt(jnp.maximum(1.0 - cos_g**2, 0.0))
+    from spherharm_tpu.ops.contact import _orthobasis
+
+    t1, t2 = _orthobasis(e_body)
+    dirs = (
+        cos_g[..., None] * e_body[:, None, :]
+        + (sin_g * shapes.cap_cpsi)[..., None] * t1[:, None, :]
+        + (sin_g * shapes.cap_spsi)[..., None] * t2[:, None, :]
+    )
+    ct, st, cp, sp = _unit_trig(dirs)
+    if exact is None:
+        exact = jax.default_backend() in ("tpu", "axon")
+    r_i, drt_i, drp_i = eval_radius_trig(
+        shapes, state.shtype, ct, st, cp, sp, exact=exact
+    )
+    sscale = state.scale[:, None]
+    r_i = r_i * sscale
+    n_i = surface_normal_trig(
+        r_i, drt_i * sscale, drp_i * sscale, ct, st, cp, sp
+    )
+    cos_incl = jnp.clip(jnp.sum(n_i * dirs, axis=-1), 0.05, 1.0)
+    w_solid = one_m * shapes.cap_glw[None, :]
+    dA = w_solid * r_i**2 / cos_incl
+
+    rel = quat_rotate(state.q[:, None, :], r_i[..., None] * dirs)
     p = state.x[:, None, :] + rel
     depth, n_at = wall.depth_and_normal(p)
 
-    # Smoothed containment weight (see ops/contact.py: kink-free overlap
-    # integrals for energy conservation).
-    w_smooth = (0.01 * shapes.rchar[state.shtype] * state.scale)[:, None]
+    # Depth-moment overlap integrals (see ops/contact.py: kink-free and
+    # lens-exact — for a flat wall the cap depth profile is the
+    # paraboloid limit, so delta = 1.5*S2/S1 is exact).
     depth = jnp.where(near[:, None], jnp.maximum(depth, 0.0), 0.0)
-    t_in = jnp.clip(depth / w_smooth, 0.0, 1.0)
-    s_in = t_in * t_in * (3.0 - 2.0 * t_in)  # C^2 smoothstep
-    dA = shapes.node_area[state.shtype] * (state.scale**2)[:, None]
-    w = s_in * dA
-    area = jnp.sum(w, axis=-1)
-    vol = jnp.sum(w * depth, axis=-1)
-    in_contact = near & (area > 0)
-    delta = jnp.where(in_contact, 2.0 * vol / jnp.maximum(area, 1e-12), 0.0)
+    wd = dA * depth
+    s1 = jnp.sum(wd, axis=-1)
+    s2 = jnp.sum(wd * depth, axis=-1)
+    in_contact = near & (s1 > 0)
+    delta = jnp.where(in_contact, 1.5 * s2 / jnp.maximum(s1, 1e-30), 0.0)
     centroid = jnp.where(
         in_contact[:, None],
-        jnp.sum(w[..., None] * rel, axis=-2) / jnp.maximum(area, 1e-12)[:, None],
+        jnp.sum(wd[..., None] * rel, axis=-2)
+        / jnp.maximum(s1, 1e-30)[:, None],
         0.0,
     )
-    n_hat = jnp.sum(w[..., None] * n_at, axis=-2)
+    n_hat = jnp.sum(wd[..., None] * n_at, axis=-2)
     nn = jnp.linalg.norm(n_hat, axis=-1, keepdims=True)
     n_hat = jnp.where(nn > 1e-10, n_hat / jnp.maximum(nn, 1e-12), n_c)
 
@@ -165,4 +240,4 @@ def wall_contact(state, shapes, params, wall, hist):
     force = jnp.where(in_contact[:, None], f_n + f_t, 0.0)
     torque = jnp.cross(centroid, force)
     pe = jnp.where(in_contact, 0.4 * params.kn * jnp.sqrt(r_eff) * delta**2.5, 0.0)
-    return force, torque, xi, pe
+    return force, torque, xi, pe, jnp.sum(near.astype(jnp.int32))

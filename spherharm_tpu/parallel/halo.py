@@ -492,9 +492,10 @@ class ShardedSimulation:
         pe_wall = jnp.zeros((), f.dtype)
         wall_hists = []
         for w_i, wall in enumerate(self.walls):
-            wf, wt, whist, wpe = walls_mod.wall_contact(
+            wf, wt, whist, wpe, _ = walls_mod.wall_contact(
                 state, self.shapes, self.params, wall,
                 neigh.wall_hist[: self.cap_local, w_i],
+                exact=self.exact_eval,
             )
             f = f + wf
             tau = tau + wt

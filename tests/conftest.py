@@ -8,6 +8,10 @@ Multi-chip sharding logic is tested on a virtual 8-device CPU mesh
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon plugin routes ALL compiles (even CPU) through the remote TPU
+# compile helper by default — minutes per graph, plus cross-machine CPU
+# feature mismatches. Compile locally for tests.
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

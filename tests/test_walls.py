@@ -70,12 +70,18 @@ def test_cylinder_wall_confines():
     sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
                      walls=walls)
     state, neigh = sim.init_neighbors(state)
-    state, neigh = sim.run(state, neigh, 30000)
+    # Run until the in-shell pendulum damps out (friction acts only in
+    # contact, so settling takes several swing periods).
+    for _ in range(12):
+        state, neigh = sim.run(state, neigh, 20000)
+        if float(jnp.linalg.norm(state.v[0])) < 5e-3:
+            break
     x = np.asarray(state.x[0])
     rad = np.hypot(x[0], x[2])
     # Settled inside the drum shell, resting near the bottom.
+    assert float(jnp.linalg.norm(state.v[0])) < 2e-2
     assert rad <= R_c - R_p * 0.8
-    assert x[2] == pytest.approx(-(R_c - R_p), abs=0.1 * R_p)
+    assert x[2] == pytest.approx(-(R_c - R_p), abs=0.15 * R_p)
 
 
 def test_rotating_drum_drags_particle():
