@@ -38,7 +38,7 @@ def main():
         n=n, lmax=lmax,
         pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", 65536)),
         k_max=24,
-        use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         rebuild_every=int(os.environ.get("BENCH_REBUILD_EVERY", 20)),
     )
     setup_s = time.time() - t0
@@ -47,7 +47,7 @@ def main():
           file=sys.stderr)
 
     # One compile: warm up and measure with the SAME block length.
-    block = int(os.environ.get("BENCH_BLOCK", 100))
+    block = int(os.environ.get("BENCH_BLOCK", 50))
     t0 = time.time()
     state, neigh = sim.run(state, neigh, block)
     jax.block_until_ready(state.x)

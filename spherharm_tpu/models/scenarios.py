@@ -179,7 +179,7 @@ def rotating_drum(
     k_max: int = 24,
     pair_chunk: int = 0,
     pair_capacity: int | None = None,
-    contact_quad=None,
+    contact_quad=(8, 16),  # 128 cap nodes: lane-aligned for the TPU kernel
     use_pallas: bool = False,
     rebuild_every: int = 0,
     exact_eval: bool | None = None,
@@ -250,12 +250,15 @@ def rotating_drum(
         x, box_lo, box_hi, q=q, scale=scale, shtype=shtype, dtype=dtype
     )
     if pair_capacity is None:
-        pair_capacity = 12 * n
+        pair_capacity = 10 * n
+    # Near-wall fraction ~ (shell area * rmax) / drum volume.
+    wall_cap = max(1024, min(n, int(8.0 * n * rmax / R_drum)))
     sim = Simulation(
         shapes, params, neighbor_mode="cell", grid=grid,
         k_max=k_max, cell_cap=10, walls=walls, pair_chunk=pair_chunk,
         pair_capacity=pair_capacity, use_pallas=use_pallas,
         rebuild_every=rebuild_every, exact_eval=exact_eval,
+        wall_capacity=wall_cap,
     )
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh

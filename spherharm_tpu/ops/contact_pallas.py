@@ -369,7 +369,7 @@ def _make_kernel(lmax: int):
 
 @partial(jax.jit, static_argnames=("lmax", "block", "interpret"))
 def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
-                        block: int = 128, interpret: bool | None = None):
+                        block: int = 64, interpret: bool | None = None):
     """Run the fused kernel. packed: [P, _F]; ci/cj: [P, NC] pre-scaled
     coefficient rows; cap: [4, G]; par: [1, 8]. Returns [P, _NOUT].
 
