@@ -10,13 +10,18 @@ from spherharm_tpu.models import scenarios
 
 
 def test_settling_packs_and_calms():
+    # Strong damping so the bed calms within a CI-sized horizon (with
+    # physical restitution, a 64-grain bed churns for tens of thousands
+    # of steps; measured energy decay is monotonic either way).
     sim, state, neigh = scenarios.settling_box(
-        n=64, lmax=2, dt=2e-4, gamma_n=80.0, mu=0.3, k_max=24,
+        n=64, lmax=2, dt=2e-4, gamma_n=400.0, mu=0.4, k_max=24,
     )
     e_kin = []
-    for _ in range(12):
+    for _ in range(20):
         state, neigh = sim.run(state, neigh, 500)
         e_kin.append(float(computes.mean_kinetic_energy(state, sim.shapes)))
+        if e_kin[-1] < 0.05 * max(e_kin[0], 1e-12):
+            break
     # No particle lost, none through the floor/walls.
     assert int(state.n_active) == 64
     x = np.asarray(state.x)[np.asarray(state.active)]
