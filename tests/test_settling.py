@@ -20,7 +20,7 @@ def test_settling_packs_and_calms():
     for _ in range(20):
         state, neigh = sim.run(state, neigh, 500)
         e_kin.append(float(computes.mean_kinetic_energy(state, sim.shapes)))
-        if e_kin[-1] < 0.05 * max(e_kin[0], 1e-12):
+        if e_kin[-1] < 0.02 * max(e_kin):
             break
     # No particle lost, none through the floor/walls.
     assert int(state.n_active) == 64
@@ -31,8 +31,8 @@ def test_settling_packs_and_calms():
     hi = np.asarray(state.box_hi)
     assert (x[:, 0] > lo[0] - 0.3 * rmax).all()
     assert (x[:, 0] < hi[0] + 0.3 * rmax).all()
-    # Kinetic energy decays: settled bed.
-    assert e_kin[-1] < 0.05 * max(e_kin[0], 1e-12) + 1e-4
+    # Kinetic energy decays from the impact peak: settled bed.
+    assert e_kin[-1] < 0.02 * max(e_kin) + 1e-4, e_kin
     # Packing fraction: physical for a dense bed is ~0.45-0.70, but a
     # 64-particle bed is ~2 uneven layers and the slab-height estimator
     # is biased there — this is a sanity window only; the quantitative
