@@ -49,8 +49,10 @@ class CellGrid:
     """Static binning geometry: grid dims chosen once at setup.
 
     Cell size must stay >= cutoff+skin for the 27-stencil to be complete;
-    pick dims from the *largest* box the run will see (boxes may shrink
-    under deformation — then rebuild the Simulation with new dims).
+    pick dims from the *smallest* box the run will see (boxes may shrink
+    under deformation; fewer cells of a larger box are always safe, but
+    cells below cutoff+skin silently miss neighbors — cell_list_neighbors
+    also guards this at runtime through the overflow channel).
     """
 
     def __init__(self, box_lo, box_hi, cutoff: float,
@@ -137,6 +139,16 @@ def cell_list_neighbors(
         jnp.minimum(cid, n_cells)
     ].add(1)[:n_cells]
     cell_overflow = jnp.max(per_cell_count)
+    # Cells narrower than the cutoff make the 27-stencil incomplete
+    # (neighbors silently missed). Flag loudly via the overflow channel;
+    # tolerance covers single-ULP float division noise. Dims of 1 span
+    # the whole (possibly non-periodic, halo-padded) extent and cannot
+    # under-reach, so they are exempt.
+    dims_arr = jnp.asarray(grid_dims, jnp.int32)
+    under = (cell_sz < cutoff * (1.0 - 1e-6)) & (dims_arr > 1)
+    cell_overflow = jnp.where(
+        jnp.any(under), jnp.int32(1 << 20), cell_overflow
+    )
 
     # Stencil gather: neighbor cell coords with wrap/clamp per dim.
     off = _stencil_offsets()  # [27,3]

@@ -27,10 +27,9 @@ left edge; the periodic seam is handled by the sender shifting x by
 +/- Lx, so every downstream computation sees explicit coordinates and
 NO minimum-imaging is needed along x.
 
-Migrating particles drop their tangential-spring history in this round
-(fresh contact on arrival; the per-row tag guard in remap_history makes
-this safe); carrying springs inside the migration buffer is a planned
-refinement.
+Migrating particles carry their tangential-spring history (pair and
+wall springs) inside the migration buffers, matching the reference's
+FixNeighHistory-rides-pack_exchange behavior (SURVEY.md 3.4).
 """
 
 from __future__ import annotations
@@ -314,45 +313,74 @@ class ShardedSimulation:
         overflow = jnp.maximum(jnp.sum(near_l), jnp.sum(near_r))
         return send_idx, send_mask, overflow
 
-    def _migrate(self, state):
-        """Move owned particles whose slab changed to ring neighbors."""
+    def _migrate(self, state, neigh):
+        """Move owned particles whose slab changed to ring neighbors.
+
+        Positions are wrapped BEFORE migration (in _rebuild), so a
+        seam-crossing particle's x is already inside the destination
+        slab's coordinate range — migration buffers carry coordinates
+        verbatim, with NO seam unwrap (+/-Lx is only for halo ghost
+        export, where explicit out-of-box images are intended).
+
+        Contact history migrates with the particle: the old-list row
+        (neigh_tag, mask, hist) plus wall springs are shipped and
+        scattered into the receiver's neighbor arrays keyed by the new
+        slot, with row_tag set to the arriving tag, so the subsequent
+        remap_history carries the springs into the new build — the
+        TPU analogue of FixNeighHistory state riding AtomVec
+        pack_exchange (SURVEY.md 3.4 "contact history survives").
+        """
         idx = jax.lax.axis_index("x")
+        P_ = self.n_shards
         M = self.migrate_cap
         tgt = jnp.clip(
             jnp.floor(
                 (state.x[:, 0] - state.box_lo[0]) / self._slab_w_dyn(state)
             ).astype(jnp.int32),
-            0, self.n_shards - 1,
+            0, P_ - 1,
         )
-        go_left = state.active & (tgt == (idx - 1) % self.n_shards)
-        go_right = state.active & (tgt == (idx + 1) % self.n_shards)
-        go_left = go_left & self._has_left(idx) & (self.n_shards > 1)
-        go_right = go_right & self._has_right(idx) & (self.n_shards > 1)
+        moving = state.active & (tgt != idx) & (P_ > 1)
+        go_left = moving & (tgt == (idx - 1) % P_) & self._has_left(idx)
+        # On a 2-shard ring left and right neighbor coincide: ~go_left
+        # keeps each migrant in exactly one buffer (no duplication).
+        go_right = (
+            moving & (tgt == (idx + 1) % P_) & self._has_right(idx) & ~go_left
+        )
+        # Particles more than one slab from home (huge dt or too-sparse
+        # rebuild cadence) can't be routed on the ring in one hop; flag
+        # loudly through the overflow channel instead of silently
+        # mis-owning them.
+        far = moving & ~go_left & ~go_right
         il, vl = _select_fill(go_left, M)
         ir, vr = _select_fill(go_right, M)
         mig_overflow = jnp.maximum(jnp.sum(go_left), jnp.sum(go_right))
+        mig_overflow = jnp.where(
+            jnp.any(far), jnp.int32(1 << 20), mig_overflow
+        )
 
-        sl, sr = self._seam_shifts(idx, state)
+        hist_fields = {
+            "ntag": neigh.neigh_tag, "nmask": neigh.mask,
+            "nhist": neigh.hist, "whist": neigh.wall_hist,
+        }
         bufs = {}
         for f in COMM_FIELDS:
             arr = getattr(state, f)
-            lv, rv = arr[il], arr[ir]
-            if f == "x":
-                lv = lv.at[:, 0].add(sl)
-                rv = rv.at[:, 0].add(sr)
-            bufs[f] = (lv, rv)
+            bufs[f] = (arr[il], arr[ir])
+        for f, arr in hist_fields.items():
+            bufs[f] = (arr[il], arr[ir])
+        fields = tuple(bufs.keys())
         from_right = {
-            f: self._ring_shift(bufs[f][0], "left") for f in COMM_FIELDS
+            f: self._ring_shift(bufs[f][0], "left") for f in fields
         }
         from_left = {
-            f: self._ring_shift(bufs[f][1], "right") for f in COMM_FIELDS
+            f: self._ring_shift(bufs[f][1], "right") for f in fields
         }
         recv_valid = jnp.concatenate(
             [self._ring_shift(vr, "right"), self._ring_shift(vl, "left")]
         )
         recv = {
             f: jnp.concatenate([from_left[f], from_right[f]], axis=0)
-            for f in COMM_FIELDS
+            for f in fields
         }
 
         # Deactivate leavers, then place arrivals into free slots. Writes
@@ -362,16 +390,31 @@ class ShardedSimulation:
         place = recv_valid & free_ok
         slot = jnp.where(place, free_idx, self.cap_local)
 
-        def scatter(field, val):
+        def scatter(field, val, sentinel=self.cap_local):
             pad = jnp.zeros((1,) + field.shape[1:], field.dtype)
             ext = jnp.concatenate([field, pad], axis=0)
-            return ext.at[slot].set(val)[:-1]
+            s = slot if sentinel == self.cap_local else jnp.where(
+                place, free_idx, sentinel
+            )
+            return ext.at[s].set(val)[:-1]
 
-        new_fields = {f: scatter(getattr(state, f), recv[f]) for f in COMM_FIELDS}
+        new_fields = {
+            f: scatter(getattr(state, f), recv[f]) for f in COMM_FIELDS
+        }
         act_ext = jnp.concatenate([active, jnp.zeros((1,), bool)])
         active = act_ext.at[slot].set(place)[:-1]
         state = state.replace(active=active, **new_fields)
-        return state, mig_overflow
+        # Arrivals' old-list history lands at their new slot; row_tag is
+        # set to the arriving tag so remap_history's row_ok guard passes.
+        ext_rows = neigh.hist.shape[0]
+        neigh = neigh.replace(
+            neigh_tag=scatter(neigh.neigh_tag, recv["ntag"], ext_rows),
+            mask=scatter(neigh.mask, recv["nmask"], ext_rows),
+            hist=scatter(neigh.hist, recv["nhist"], ext_rows),
+            wall_hist=scatter(neigh.wall_hist, recv["whist"], ext_rows),
+            row_tag=scatter(neigh.row_tag, recv["tag"], ext_rows),
+        )
+        return state, neigh, mig_overflow
 
     def _extend(self, state: State, ghosts: GhostPack):
         """Concatenate owned + ghost slots into one extended State view."""
@@ -405,7 +448,7 @@ class ShardedSimulation:
             state.x, state.image, state.box_lo, state.box_hi, self.periodic
         )
         state = state.replace(x=x, image=image)
-        state, mig_ovf = self._migrate(state)
+        state, neigh, mig_ovf = self._migrate(state, neigh)
 
         send_idx, send_mask, halo_ovf = self._halo_membership(state)
         gfields = self._gather_send(state, send_idx, send_mask)
