@@ -33,13 +33,19 @@ def main():
     lmax = int(os.environ.get("BENCH_LMAX", 8))
     n_steps = int(os.environ.get("BENCH_STEPS", 200))
 
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    # Two-stage narrow phase: full-gradient kernel only on true contacts
+    # (~6 contacts/particle half-list in a dense bed; 5n gives slack and
+    # overflow is flagged in neigh.overflow).
+    stage2 = int(os.environ.get("BENCH_STAGE2", 5 * n if use_pallas else 0))
     t0 = time.time()
     sim, state, neigh = scenarios.rotating_drum(
         n=n, lmax=lmax,
         pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", 65536)),
         k_max=24,
-        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
+        use_pallas=use_pallas,
         rebuild_every=int(os.environ.get("BENCH_REBUILD_EVERY", 20)),
+        stage2_capacity=stage2,
     )
     setup_s = time.time() - t0
     print(f"# setup {setup_s:.1f}s  n={n} lmax={lmax} "

@@ -59,6 +59,7 @@ class Simulation:
         press_control: bool = False,
         rebuild_every: int = 0,
         wall_capacity: int = 0,
+        stage2_capacity: int = 0,
         gravity_pe_origin=(0.0, 0.0, 0.0),
     ):
         self.shapes = shapes
@@ -83,6 +84,7 @@ class Simulation:
         self.press_control = bool(press_control)
         self.rebuild_every = int(rebuild_every)
         self.wall_capacity = int(wall_capacity)
+        self.stage2_capacity = int(stage2_capacity)
         self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
         if neighbor_mode == "cell" and grid is None:
             raise ValueError("neighbor_mode='cell' requires a CellGrid")
@@ -109,6 +111,10 @@ class Simulation:
             state.x, state.image, state.box_lo, state.box_hi, self.periodic
         )
         state = state.replace(x=x, image=image)
+        if self.pair_capacity > 0:
+            # Live springs ride in pair space between rebuilds; fold them
+            # back into the tag-keyed [N, K] layout before remapping.
+            neigh = neigh.replace(hist=contact.pair_hist_to_dense(neigh))
         idx, mask, overflow = self._build_list(state)
         neigh_tag = jnp.where(mask, state.tag[idx], 0)
         row_ok = neigh.row_tag == state.tag  # single-device: slots stable
@@ -120,12 +126,25 @@ class Simulation:
             row_tag=state.tag, x_build=state.x,
             overflow=jnp.maximum(neigh.overflow, overflow),
         )
+        if self.pair_capacity > 0:
+            pair_fields, n_pairs = contact.build_pair_list(
+                state, self.shapes, self.params, idx, mask, hist,
+                state.active, self.pair_capacity, self.periodic,
+            )
+            neigh = neigh.replace(
+                overflow=jnp.maximum(
+                    neigh.overflow,
+                    jnp.where(n_pairs > self.pair_capacity, n_pairs, 0),
+                ),
+                **pair_fields,
+            )
         return state, neigh
 
     def init_neighbors(self, state: State) -> tuple[State, NeighborState]:
         """First build (the Verlet::setup analogue)."""
         neigh = empty_neighbors(
-            state.cap, self.k_max, len(self.walls), dtype=state.x.dtype
+            state.cap, self.k_max, len(self.walls), dtype=state.x.dtype,
+            pair_cap=self.pair_capacity,
         )
         return self._rebuild(state, neigh)
 
@@ -146,20 +165,20 @@ class Simulation:
     def compute_forces(self, state: State, neigh: NeighborState):
         """Fill f/tau; returns (state, neigh-with-updated-history, aux)."""
         if self.pair_capacity > 0:
-            f, tau, hist, pe_pair, virial, n_cand = (
-                contact.contact_force_compact(
+            f, tau, pair_hist, pe_pair, virial, n_s2 = (
+                contact.contact_force_pairs(
                     state, self.shapes, self.params, neigh,
-                    pair_cap=self.pair_capacity,
                     exact=self.exact_eval, periodic=self.periodic,
                     chunk=self.pair_chunk or 16384,
                     use_pallas=self.use_pallas,
+                    stage2_cap=self.stage2_capacity,
                 )
             )
             neigh = neigh.replace(
-                hist=hist,
+                pair_hist=pair_hist,
                 overflow=jnp.maximum(
                     neigh.overflow,
-                    jnp.where(n_cand > self.pair_capacity, n_cand, 0),
+                    jnp.where(n_s2 > max(self.stage2_capacity, 1), n_s2, 0),
                 ),
             )
         else:

@@ -77,6 +77,14 @@ class Shapes:
     cap_glw: jax.Array       # [Gc] GL weights (sum over gamma block = 1)
     cap_cpsi: jax.Array      # [Gc] cos(psi) azimuth
     cap_spsi: jax.Array      # [Gc] sin(psi)
+    # Coarse stage-1 cap grid (two-stage narrow phase): a cheap r-only
+    # containment probe on these nodes culls the ~70-90% of bounding-
+    # sphere candidates that are not actually touching, so the full
+    # gradient evaluation on the fine cap grid runs only on survivors.
+    cap1_x: jax.Array        # [G1]
+    cap1_glw: jax.Array      # [G1]
+    cap1_cpsi: jax.Array     # [G1]
+    cap1_spsi: jax.Array     # [G1]
     vol: jax.Array           # [T] volume (unit scale, unit density)
     inertia: jax.Array       # [T, 3] principal inertia (unit scale/density)
     density: jax.Array       # [T] mass density
@@ -112,20 +120,47 @@ class NeighborState:
 
     idx: jax.Array      # [cap, K] int32 neighbor slot indices (0 if invalid)
     mask: jax.Array     # [cap, K] bool validity
-    hist: jax.Array     # [cap, K, 3] tangential-spring displacement (world)
+    hist: jax.Array     # [cap, K, HW] tangential (+rolling) spring state
+                        # (world). With a pair list active this is the
+                        # REBUILD-TIME snapshot (the durable, tag-keyed
+                        # representation); between rebuilds the live
+                        # springs ride in pair_hist.
     neigh_tag: jax.Array  # [cap, K] int32 neighbor TAGS at build time — the
                           # stable key for carrying history across rebuilds
                           # (slot ids shuffle under sharding/migration)
     row_tag: jax.Array    # [cap] int32 owner tag of each row at build time
-    wall_hist: jax.Array  # [cap, W, 3] per-wall tangential springs
+    wall_hist: jax.Array  # [cap, W, HW] per-wall springs
     x_build: jax.Array  # [cap, 3] positions at build time (skin trigger)
     overflow: jax.Array # int32: max candidate count seen (> K means trouble)
     skin_violations: jax.Array  # int32: times displacement exceeded skin/2
                                 # before a static-cadence rebuild fired
 
+    # Stable pair list, compacted ONCE per rebuild from the [cap, K]
+    # Verlet tensor (LAMMPS's actual structure: the pair loop runs over
+    # a half neighbor list built at reneighbor time, not re-derived per
+    # step). Valid until the next rebuild because candidates keep the
+    # full skin margin (dist_build < rb_i + rb_j + skin).
+    pair_i: jax.Array     # [Pc] int32 row slot (sorted ascending)
+    pair_j: jax.Array     # [Pc] int32 partner slot (may be a ghost slot)
+    pair_valid: jax.Array # [Pc] bool
+    pair_both: jax.Array  # [Pc] bool: apply the reaction to j too (half-
+                          # list owned-owned pair); False = one-sided
+                          # owned-ghost pair (the ghost's owner shard
+                          # evaluates the mirror copy)
+    pair_hist: jax.Array  # [Pc, HW] live tangential(+rolling) springs
+    pair_sel: jax.Array   # [Pc] int32 flat cap*K slot of the (i->j) entry
+                          # (for the rebuild-time scatter-back); cap*K = none
+    pair_selj: jax.Array  # [Pc] int32 flat slot of the mirror (j->i) entry
+    pair_jsort: jax.Array # [Pc] int32 permutation sorting pair_j (so the
+                          # j-side reaction sum is a sorted segment_sum)
+
     @property
     def k_max(self) -> int:
         return self.idx.shape[1]
+
+    @property
+    def pair_cap(self) -> int:
+        return self.pair_i.shape[0]
 
 
 @struct.dataclass
@@ -198,16 +233,28 @@ def zeros_state(cap: int, box_lo, box_hi, dtype=jnp.float32) -> State:
     )
 
 
+# Width of the per-contact spring state: 3 tangential (+3 rolling later).
+HIST_W = 3
+
+
 def empty_neighbors(cap: int, k_max: int, n_walls: int = 0,
-                    dtype=jnp.float32) -> NeighborState:
+                    dtype=jnp.float32, pair_cap: int = 0) -> NeighborState:
     return NeighborState(
         idx=jnp.zeros((cap, k_max), jnp.int32),
         mask=jnp.zeros((cap, k_max), bool),
-        hist=jnp.zeros((cap, k_max, 3), dtype),
+        hist=jnp.zeros((cap, k_max, HIST_W), dtype),
         neigh_tag=jnp.zeros((cap, k_max), jnp.int32),
         row_tag=jnp.zeros((cap,), jnp.int32),
-        wall_hist=jnp.zeros((cap, max(n_walls, 1), 3), dtype),
+        wall_hist=jnp.zeros((cap, max(n_walls, 1), HIST_W), dtype),
         x_build=jnp.zeros((cap, 3), dtype),
         overflow=jnp.asarray(0, jnp.int32),
         skin_violations=jnp.asarray(0, jnp.int32),
+        pair_i=jnp.zeros((pair_cap,), jnp.int32),
+        pair_j=jnp.zeros((pair_cap,), jnp.int32),
+        pair_valid=jnp.zeros((pair_cap,), bool),
+        pair_both=jnp.zeros((pair_cap,), bool),
+        pair_hist=jnp.zeros((pair_cap, HIST_W), dtype),
+        pair_sel=jnp.full((pair_cap,), cap * k_max, jnp.int32),
+        pair_selj=jnp.full((pair_cap,), cap * k_max, jnp.int32),
+        pair_jsort=jnp.zeros((pair_cap,), jnp.int32),
     )

@@ -395,11 +395,19 @@ class DeckRunner:
         self._materialize()
         cadences = [self.thermo_every] + [d[0] for d in self.dumps]
         cadences = [c for c in cadences if c > 0]
-        block = min(cadences) if cadences else n
         self._outputs()
         done = 0
         while done < n:
-            todo = min(block, n - done)
+            # Advance to the nearest step any output is scheduled at, so
+            # non-commensurate cadences (thermo 100 + dump 30) each fire
+            # on their own multiples, as LAMMPS does — not only at common
+            # multiples.
+            step = int(self.state.step)
+            if cadences:
+                todo = min(c - step % c for c in cadences)
+            else:
+                todo = n - done
+            todo = min(todo, n - done)
             self.state, self.neigh = self.sim.run(self.state, self.neigh, todo)
             done += todo
             self._outputs()

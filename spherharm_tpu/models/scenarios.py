@@ -183,6 +183,7 @@ def rotating_drum(
     use_pallas: bool = False,
     rebuild_every: int = 0,
     exact_eval: bool | None = None,
+    stage2_capacity: int = 0,
     dtype=jnp.float32,
 ):
     """Config 4: N polydisperse Lmax=8 particles in a rotating drum —
@@ -258,7 +259,7 @@ def rotating_drum(
         k_max=k_max, cell_cap=10, walls=walls, pair_chunk=pair_chunk,
         pair_capacity=pair_capacity, use_pallas=use_pallas,
         rebuild_every=rebuild_every, exact_eval=exact_eval,
-        wall_capacity=wall_cap,
+        wall_capacity=wall_cap, stage2_capacity=stage2_capacity,
     )
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh

@@ -117,6 +117,7 @@ def build_shapes(
     lmax: int,
     density=1.0,
     contact_quad: tuple[int, int] | None = None,
+    stage1_quad: tuple[int, int] = (4, 8),
     table_res: tuple[int, int] = (96, 192),
     setup_quad_n: int = 48,
     dtype=jnp.float32,
@@ -153,16 +154,20 @@ def build_shapes(
     # nodes in a unit variable x in (0,1); at runtime the pair kernel maps
     # cos(gamma) = 1 - (1 - cos(gamma_max)) * x, so resolution adapts to
     # the contact-cap size (SURVEY.md 7.3 "patch-local quadrature").
-    gl_x, gl_w = roots_legendre(contact_quad[0])
-    cap_x1 = (np.asarray(gl_x) + 1.0) / 2.0     # (0, 1)
-    cap_w1 = np.asarray(gl_w) / 2.0             # sums to 1
-    psi = (np.arange(contact_quad[1]) + 0.5) * (2.0 * np.pi / contact_quad[1])
-    cx, cp = np.meshgrid(cap_x1, psi, indexing="ij")
-    cw, _ = np.meshgrid(cap_w1, psi, indexing="ij")
-    cap_x = cx.ravel()
-    cap_glw = (cw * (2.0 * np.pi / contact_quad[1])).ravel()
-    cap_cpsi = np.cos(cp.ravel())
-    cap_spsi = np.sin(cp.ravel())
+    def _cap_grid(n_gamma, n_psi):
+        gl_x, gl_w = roots_legendre(n_gamma)
+        cap_x1 = (np.asarray(gl_x) + 1.0) / 2.0     # (0, 1)
+        cap_w1 = np.asarray(gl_w) / 2.0             # sums to 1
+        psi = (np.arange(n_psi) + 0.5) * (2.0 * np.pi / n_psi)
+        cx, cp = np.meshgrid(cap_x1, psi, indexing="ij")
+        cw, _ = np.meshgrid(cap_w1, psi, indexing="ij")
+        return (cx.ravel(), (cw * (2.0 * np.pi / n_psi)).ravel(),
+                np.cos(cp.ravel()), np.sin(cp.ravel()))
+
+    cap_x, cap_glw, cap_cpsi, cap_spsi = _cap_grid(*contact_quad)
+    # Coarse stage-1 containment grid (two-stage narrow phase; keep it a
+    # lane-friendly 32 nodes).
+    cap1_x, cap1_glw, cap1_cpsi, cap1_spsi = _cap_grid(*stage1_quad)
 
     # High-order setup quadrature for volume / inertia / rmax.
     sq = SphereQuadratureNp(setup_quad_n, 2 * setup_quad_n)
@@ -207,6 +212,10 @@ def build_shapes(
         cap_glw=f(cap_glw),
         cap_cpsi=f(cap_cpsi),
         cap_spsi=f(cap_spsi),
+        cap1_x=f(cap1_x),
+        cap1_glw=f(cap1_glw),
+        cap1_cpsi=f(cap1_cpsi),
+        cap1_spsi=f(cap1_spsi),
         vol=f(vol),
         inertia=f(diag),
         density=f(density),

@@ -258,8 +258,10 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
                       exact: bool = False, periodic=(False, False, False)):
     """Full contact law for a batch of P candidate pairs (row inputs).
 
-    Returns (force_on_i [P,3], torque_on_i [P,3], new_hist [P,3],
-    pe [P], in_contact [P], rij [P,3]).
+    Returns (force_on_i [P,3], torque_on_i [P,3], torque_on_j [P,3],
+    new_hist [P,3], pe [P], in_contact [P], rij [P,3]). The force on j
+    is -force_on_i (Newton); torque_on_j is reported separately because
+    it uses j's own moment arm (and, later, rolling pure torques).
     """
     x_i, v_i, q_i, om_i = (rows_i[:, _RX], rows_i[:, _RV],
                            rows_i[:, _RQ], rows_i[:, _ROM])
@@ -343,13 +345,14 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
 
     force = jnp.where(in_contact[..., None], f_n + f_t, 0.0)
     torque = jnp.cross(arm_i, force)
+    torque_j = jnp.cross(arm_j, -force)
     # Elastic PE of the Hertzian spring: integral kn*sqrt(R)*d^{3/2} dd.
     pe = jnp.where(
         in_contact,
         0.4 * params.kn * jnp.sqrt(r_eff) * delta**2.5,
         0.0,
     )
-    return force, torque, xi, pe, in_contact, d
+    return force, torque, torque_j, xi, pe, in_contact, d
 
 
 @partial(jax.jit, static_argnames=("exact", "periodic"))
@@ -433,14 +436,14 @@ def contact_force_dense(state, shapes, params, neigh,
         blocks = jax.tree.map(
             lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), blocks
         )
-        force, torque, hist_new, pe, inc, d = jax.lax.map(run, blocks)
+        force, torque, _, hist_new, pe, inc, d = jax.lax.map(run, blocks)
         unpad = lambda a: a.reshape((n_chunks * chunk,) + a.shape[2:])[: N * K]
         force, torque, hist_new, pe, inc, d = (
             unpad(force), unpad(torque), unpad(hist_new), unpad(pe),
             unpad(inc), unpad(d),
         )
     else:
-        force, torque, hist_new, pe, inc, d = run(blocks)
+        force, torque, _, hist_new, pe, inc, d = run(blocks)
 
     f = jnp.sum(force.reshape(N, K, 3), axis=1)
     tau = jnp.sum(torque.reshape(N, K, 3), axis=1)
@@ -450,140 +453,241 @@ def contact_force_dense(state, shapes, params, neigh,
     return f, tau, hist_new.reshape(N, K, 3), pe_total, virial
 
 
-@partial(jax.jit, static_argnames=("exact", "periodic", "pair_cap", "chunk",
-                                   "use_pallas"))
-def contact_force_compact(state, shapes, params, neigh,
-                          pair_cap: int,
-                          exact: bool = False,
-                          periodic=(False, False, False),
-                          chunk: int = 16384,
-                          owned=None,
-                          use_pallas: bool = False):
-    """Force/torque via broad-phase compaction to a fixed pair capacity.
+@partial(jax.jit, static_argnames=("pair_cap", "periodic", "half"))
+def build_pair_list(state, shapes, params, neigh_idx, neigh_mask, hist,
+                    owned, pair_cap: int,
+                    periodic=(False, False, False), half: bool = True):
+    """Compact the [N, K] Verlet tensor into a stable pair list.
 
-    The [N, K] Verlet tensor is mostly empty slack (cutoff includes skin;
-    shapes are smaller than their bounding spheres). A cheap distance cull
-    marks true bounding-sphere overlaps, a stable sort compacts them into
-    ``pair_cap`` slots, and the expensive [P, G] cap-quadrature narrow
-    phase runs only on those. Forces return home by segment-sum (pair
-    slots stay sorted by row), history scatters back to [N, K].
+    Runs ONCE per neighbor rebuild (LAMMPS's actual structure: the pair
+    loop iterates a half list built at reneighbor time). Keeps every
+    pair whose bounding spheres can touch before the next rebuild
+    (dist < rb_i + rb_j + skin: each particle moves at most skin/2
+    between rebuilds, so the relative approach is bounded by skin).
 
-    Returns (f, tau, new_hist, pe_total, virial, n_candidates).
-    ``n_candidates > pair_cap`` means dropped contacts — the caller must
-    track it like a neighbor-list overflow.
+    ``half=True`` keeps each owned-owned pair once (lower slot first;
+    the step kernel applies force/torque to both sides) and owned-ghost
+    pairs one-sided (the ghost's owner shard evaluates the mirror) —
+    halving the narrow-phase FLOPs vs the full list.
+
+    Compaction is cumsum+scatter (no argsort): pair_i stays sorted, so
+    the i-side force reduction is a sorted segment-sum. A rebuild-time
+    argsort of pair_j gives the j-side reaction the same property.
+
+    Returns (fields: dict of NeighborState pair_* leaves, n_pairs).
+    ``n_pairs > pair_cap`` means dropped pairs — fold into overflow.
     """
-    N, K = neigh.idx.shape
-    j_idx = neigh.idx
-
-    # One packed row table; all pair access is contiguous row-gathers
-    # (per-field gathers measured ~0.4 s/step at n=20k — TPU has no
-    # hardware gather, so gather COUNT is what matters).
-    if owned is None:
-        owned = state.active
-    rows = particle_rows(state, shapes)
-    rows_j_nk = rows[j_idx]  # [N, K, ROW_W]: the single broad-phase gather
-
-    # Broad phase over the dense tensor (elementwise from rows).
+    N, K = neigh_idx.shape
+    hw = hist.shape[-1]
+    rb = shapes.rmax[state.shtype] * state.scale
+    xj = state.x[neigh_idx]
     d = minimum_image(
-        rows_j_nk[..., _RX] - rows[:, None, _RX],
-        state.box_lo, state.box_hi, periodic,
+        xj - state.x[:, None, :], state.box_lo, state.box_hi, periodic
     )
     dist2 = jnp.sum(d * d, axis=-1)
-    rsum = rows[:, None, _RRB] + rows_j_nk[..., _RRB]
-    cand = (
-        neigh.mask
-        & (dist2 < rsum * rsum)
+    margin = rb[:, None] + rb[neigh_idx] + params.skin
+    owned_j = owned[neigh_idx]
+    keep = (
+        neigh_mask
+        & (dist2 < margin * margin)
         & owned[:, None]
-        & (rows_j_nk[..., _RACT] > 0.5)
+        & state.active[neigh_idx]
     )
-    flat_cand = cand.reshape(-1)
-    n_candidates = jnp.sum(flat_cand.astype(jnp.int32))
+    if half:
+        i_col = jnp.arange(N, dtype=jnp.int32)[:, None]
+        keep = keep & (~owned_j | (neigh_idx > i_col))
 
-    # Stable compaction: sort flat slot ids with candidates first. Sorting
-    # keys ascending by (!cand, slot) keeps slots ordered by row i, so the
-    # segment-sum below sees sorted segment ids.
-    slot = jnp.arange(N * K, dtype=jnp.int32)
-    order = jnp.argsort(jnp.where(flat_cand, slot, slot + N * K))
-    sel = order[:pair_cap]
-    psel_valid = flat_cand[sel]
-    pi = (sel // K).astype(jnp.int32)
-    pj = j_idx.reshape(-1)[sel]
+    flat = keep.reshape(-1)
+    n_pairs = jnp.sum(flat.astype(jnp.int32))
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat & (pos < pair_cap), pos, pair_cap)
+    pair_sel = (
+        jnp.full((pair_cap + 1,), N * K, jnp.int32)
+        .at[tgt].set(jnp.arange(N * K, dtype=jnp.int32), mode="drop")[:pair_cap]
+    )
+    valid = pair_sel < N * K
+    sel_safe = jnp.minimum(pair_sel, N * K - 1)
+    pi = (sel_safe // K).astype(jnp.int32)
+    pj = neigh_idx.reshape(-1)[sel_safe]
+    # Invalid slots route to row N-1 with zero force (keeps ids sorted).
+    pi = jnp.where(valid, pi, N - 1)
+    pj = jnp.where(valid, pj, N - 1)
+    pair_both = jnp.where(valid, owned_j.reshape(-1)[sel_safe], False)
+    pair_hist = jnp.where(
+        valid[:, None], hist.reshape(-1, hw)[sel_safe], 0.0
+    )
+    # Mirror slot k' with idx[pj, k'] == pi (for the rebuild-time
+    # scatter-back of springs into BOTH tag-keyed rows). Ghost rows have
+    # no entries (owned-masked at build), so mirrors exist only for
+    # owned-owned pairs; a row-overflowed mirror is silently absent
+    # (flagged by the K-overflow counter anyway).
+    row_j = neigh_idx[pj]
+    hit = (row_j == pi[:, None]) & neigh_mask[pj]
+    kk = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    found = jnp.any(hit, axis=1) & valid & pair_both
+    pair_selj = jnp.where(found, pj * K + kk, N * K)
+    pair_jsort = jnp.argsort(pj).astype(jnp.int32)
+    fields = dict(
+        pair_i=pi, pair_j=pj, pair_valid=valid, pair_both=pair_both,
+        pair_hist=pair_hist, pair_sel=pair_sel, pair_selj=pair_selj,
+        pair_jsort=pair_jsort,
+    )
+    return fields, n_pairs
 
-    rows_i_p = rows[pi]
-    rows_j_p = rows_j_nk.reshape(N * K, ROW_W)[sel]
-    ti_p = state.shtype[pi]
-    tj_p = state.shtype[pj]
 
-    def run(block):
-        ri, rj, ti, tj, msk, hist = block
-        return pair_contact_rows(
-            ri, rj, ti, tj, hist, msk,
-            state.box_lo, state.box_hi, shapes, params,
-            exact=exact, periodic=periodic,
-        )
+def pair_hist_to_dense(neigh):
+    """Scatter live pair springs back into the tag-keyed [N, K] layout.
+
+    Called at rebuild time, BEFORE migration/remap: both the (i->j) slot
+    and the mirror (j->i) slot are written — the mirror with NEGATED
+    spring (row j's spring accumulates -v_t of row i's) — so
+    remap_history finds the spring regardless of which direction the
+    next half-list pick or a shard migration lands on.
+    """
+    N, K, hw = neigh.hist.shape
+    val = jnp.where(neigh.pair_valid[:, None], neigh.pair_hist, 0.0)
+    flat = jnp.zeros((N * K + 1, hw), neigh.hist.dtype)
+    flat = flat.at[neigh.pair_sel].set(val, mode="drop")
+    flat = flat.at[neigh.pair_selj].set(-val, mode="drop")
+    return flat[:-1].reshape(N, K, hw)
+
+
+@partial(jax.jit, static_argnames=("exact", "periodic", "chunk",
+                                   "use_pallas", "stage2_cap"))
+def contact_force_pairs(state, shapes, params, neigh,
+                        exact: bool = False,
+                        periodic=(False, False, False),
+                        chunk: int = 16384,
+                        use_pallas: bool = False,
+                        stage2_cap: int = 0):
+    """Per-step force/torque over the stable pair list (the hot path).
+
+    No per-step broad phase, sort, or [N, K] traffic: two row-gathers,
+    the narrow-phase kernel, two sorted segment-sums per output. Springs
+    update in place in pair space.
+
+    ``stage2_cap > 0`` (Pallas path only) enables the two-stage narrow
+    phase: a cheap r-only containment probe on the coarse cap grid
+    (Shapes.cap1_*) finds the true contacts, and the full gradient
+    kernel runs only on (up to stage2_cap) survivors.
+
+    Returns (f [N,3], tau [N,3], pair_hist [Pc,HW], pe_total, virial,
+    n_stage2) — fold ``n_stage2 > stage2_cap`` into the overflow channel.
+    """
+    N = state.cap
+    pi, pj = neigh.pair_i, neigh.pair_j
+    rows = particle_rows(state, shapes)
+    rows_i = rows[pi]
+    rows_j = rows[pj]
+    msk = (
+        neigh.pair_valid
+        & (rows_i[:, _RACT] > 0.5)
+        & (rows_j[:, _RACT] > 0.5)
+    )
+    P = pi.shape[0]
+    n_stage2 = jnp.asarray(0, jnp.int32)
 
     if use_pallas:
         from spherharm_tpu.ops import contact_pallas
 
-        hist_in = neigh.hist.reshape(-1, 3)[sel]
         dp = minimum_image(
-            state.x[pj] - state.x[pi], state.box_lo, state.box_hi, periodic
+            rows_j[:, _RX] - rows_i[:, _RX],
+            state.box_lo, state.box_hi, periodic,
         )
         packed, ci, cj, cap, par = contact_pallas.pack_pairs(
-            state, shapes, params, pi, pj, psel_valid, hist_in, dp
+            state, shapes, params, pi, pj, msk, neigh.pair_hist, dp,
+            rows=rows,
         )
-        out = contact_pallas.pair_contact_pallas(
-            packed, ci, cj, cap, par, lmax=shapes.lmax
-        )
+        if stage2_cap and stage2_cap < P:
+            cap1 = jnp.stack([shapes.cap1_x, shapes.cap1_glw,
+                              shapes.cap1_cpsi, shapes.cap1_spsi], axis=0)
+            depth = contact_pallas.stage1_depth_pallas(
+                packed, ci, cj, cap1, lmax=shapes.lmax
+            )
+            # Conservative slack: the coarse grid underestimates the max
+            # node depth; anything this close to touching goes to stage 2.
+            margin = 0.08 * jnp.min(shapes.rchar)
+            survive = depth > -margin
+            n_stage2 = jnp.sum(survive.astype(jnp.int32))
+            pos = jnp.cumsum(survive.astype(jnp.int32)) - 1
+            tgt = jnp.where(survive & (pos < stage2_cap), pos, stage2_cap)
+            sel2 = (
+                jnp.full((stage2_cap + 1,), P, jnp.int32)
+                .at[tgt].set(jnp.arange(P, dtype=jnp.int32), mode="drop")
+            )[:stage2_cap]
+            ok2 = sel2 < P
+            sel2s = jnp.minimum(sel2, P - 1)
+            out2 = contact_pallas.pair_contact_pallas(
+                packed[sel2s], ci[sel2s], cj[sel2s], cap, par,
+                lmax=shapes.lmax,
+            )
+            out2 = jnp.where(ok2[:, None], out2, 0.0)
+            out = (
+                jnp.zeros((P + 1, out2.shape[1]), out2.dtype)
+                .at[jnp.where(ok2, sel2s, P)].set(out2, mode="drop")[:P]
+            )
+        else:
+            out = contact_pallas.pair_contact_pallas(
+                packed, ci, cj, cap, par, lmax=shapes.lmax
+            )
         force = out[:, 0:3]
         torque = out[:, 3:6]
-        hist_new = out[:, 6:9]
-        pe = out[:, 9]
-        f = jax.ops.segment_sum(force, pi, num_segments=N)
-        tau = jax.ops.segment_sum(torque, pi, num_segments=N)
-        hist = (
-            jnp.zeros_like(neigh.hist)
-            .reshape(-1, 3)
-            .at[sel]
-            .set(jnp.where(psel_valid[:, None], hist_new, 0.0))
-            .reshape(N, K, 3)
-        )
-        pe_total = 0.5 * jnp.sum(pe)
-        virial = -0.5 * jnp.einsum("pa,pb->ab", dp, force)
-        return f, tau, hist, pe_total, virial, n_candidates
-
-    blocks = (rows_i_p, rows_j_p, ti_p, tj_p, psel_valid,
-              neigh.hist.reshape(-1, 3)[sel])
-    if chunk and pair_cap > chunk:
-        n_chunks = -(-pair_cap // chunk)
-        pad = n_chunks * chunk - pair_cap
-        blocks = jax.tree.map(
-            lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)),
-            blocks,
-        )
-        blocks = jax.tree.map(
-            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), blocks
-        )
-        force, torque, hist_new, pe, inc, dp = jax.lax.map(run, blocks)
-        unpad = lambda a: a.reshape((n_chunks * chunk,) + a.shape[2:])[:pair_cap]
-        force, torque, hist_new, pe, inc, dp = (
-            unpad(force), unpad(torque), unpad(hist_new), unpad(pe),
-            unpad(inc), unpad(dp),
-        )
+        torque_j = out[:, 6:9]
+        hist_new = out[:, 9:12]
+        pe = out[:, 12]
+        d = dp
     else:
-        force, torque, hist_new, pe, inc, dp = run(blocks)
+        def run(block):
+            ri, rj, ti, tj, m, h = block
+            return pair_contact_rows(
+                ri, rj, ti, tj, h, m,
+                state.box_lo, state.box_hi, shapes, params,
+                exact=exact, periodic=periodic,
+            )
 
-    f = jax.ops.segment_sum(force, pi, num_segments=N)
-    tau = jax.ops.segment_sum(torque, pi, num_segments=N)
-    # Non-candidate pairs are out of contact -> their springs reset to 0,
-    # so scatter updates into a zero tensor.
-    hist = (
-        jnp.zeros_like(neigh.hist)
-        .reshape(-1, 3)
-        .at[sel]
-        .set(jnp.where(psel_valid[:, None], hist_new, 0.0))
-        .reshape(N, K, 3)
+        blocks = (rows_i, rows_j, state.shtype[pi], state.shtype[pj],
+                  msk, neigh.pair_hist)
+        if chunk and P > chunk:
+            n_chunks = -(-P // chunk)
+            pad = n_chunks * chunk - P
+            blocks = jax.tree.map(
+                lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)),
+                blocks,
+            )
+            blocks = jax.tree.map(
+                lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), blocks
+            )
+            outs = jax.lax.map(run, blocks)
+            unpad = lambda a: a.reshape(
+                (n_chunks * chunk,) + a.shape[2:]
+            )[:P]
+            force, torque, torque_j, hist_new, pe, _, d = (
+                jax.tree.map(unpad, outs)
+            )
+        else:
+            force, torque, torque_j, hist_new, pe, _, d = run(blocks)
+
+    # i side: pair_i is sorted by construction.
+    f = jax.ops.segment_sum(force, pi, num_segments=N,
+                            indices_are_sorted=True)
+    tau = jax.ops.segment_sum(torque, pi, num_segments=N,
+                              indices_are_sorted=True)
+    # j side (reaction; only half-list owned-owned pairs): permute into
+    # pair_j-sorted order so this is a sorted segment-sum too.
+    w_j = (msk & neigh.pair_both).astype(force.dtype)[:, None]
+    perm = neigh.pair_jsort
+    f = f + jax.ops.segment_sum(
+        (-force * w_j)[perm], pj[perm], num_segments=N,
+        indices_are_sorted=True,
     )
-    pe_total = 0.5 * jnp.sum(pe)
-    virial = -0.5 * jnp.einsum("pa,pb->ab", dp, force)
-    return f, tau, hist, pe_total, virial, n_candidates
+    tau = tau + jax.ops.segment_sum(
+        (torque_j * w_j)[perm], pj[perm], num_segments=N,
+        indices_are_sorted=True,
+    )
+    # Each half-list pair counted once; one-sided (ghost) pairs are
+    # evaluated once per owning shard, so weight 1/2 keeps global sums
+    # exact after psum.
+    w_pe = jnp.where(msk & neigh.pair_both, 1.0, 0.5)
+    pe_total = jnp.sum(pe * w_pe)
+    virial = -jnp.einsum("p,pa,pb->ab", w_pe, d, force)
+    return f, tau, hist_new, pe_total, virial, n_stage2

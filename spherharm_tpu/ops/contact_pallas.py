@@ -14,7 +14,8 @@ friction, torque. Design notes:
   [B, NC] blocks;
 * the quadrature grid G should be a lane multiple (the default
   (8, 16) cap grid = 128 nodes exactly fills the lanes);
-* outputs pack into [B, 12] (force, torque, new spring, pe, contact).
+* outputs pack into [B, 16] (force, torque_i, torque_j, new spring, pe,
+  contact).
 
 The jnp reference implementation (ops/contact.py) stays the source of
 truth; tests pin this kernel against it.
@@ -134,6 +135,52 @@ def _radius_grad_stream(coef_ref, cos_t, sin_t, cos_p, sin_p, lmax: int):
                 drt = drt + (ac * cos_m + as_ * sin_m) * dP
                 drp = drp + m * (as_ * yc - ac * ys)
     return r, drt, drp
+
+
+def _radius_stream(coef_ref, cos_t, sin_t, cos_p, sin_p, lmax: int):
+    """Streaming r only (no gradients) — the stage-1 containment probe.
+
+    ~40% of the FLOPs of _radius_grad_stream: the dP recurrence, the
+    gradient accumulations and the 1/sin(theta) guard all drop out."""
+    sq2 = math.sqrt(2.0)
+
+    def coef(n, m):
+        return coef_ref[:, sh_index(n, m)][:, None]
+
+    r = jnp.zeros_like(cos_t)
+    c1, s1 = cos_p, sin_p
+    cos_m = jnp.ones_like(cos_t)
+    sin_m = jnp.zeros_like(cos_t)
+    P_mm = jnp.full_like(cos_t, 1.0 / math.sqrt(4.0 * math.pi))
+    for m in range(0, lmax + 1):
+        if m > 0:
+            P_mm = math.sqrt((2 * m + 1) / (2 * m)) * sin_t * P_mm
+            cos_m, sin_m = (
+                cos_m * c1 - sin_m * s1,
+                sin_m * c1 + cos_m * s1,
+            )
+        P_nm1 = None
+        P_nm = P_mm
+        for n in range(m, lmax + 1):
+            if n > m:
+                if n == m + 1:
+                    P_new = math.sqrt(2 * m + 3) * cos_t * P_nm
+                else:
+                    a = math.sqrt((4 * n * n - 1) / (n * n - m * m))
+                    b = math.sqrt(
+                        ((2 * n + 1) / (2 * n - 3))
+                        * ((n - 1) ** 2 - m * m)
+                        / (n * n - m * m)
+                    )
+                    P_new = a * cos_t * P_nm - b * P_nm1
+                P_nm1, P_nm = P_nm, P_new
+            if m == 0:
+                r = r + coef(n, 0) * P_nm
+            else:
+                r = r + sq2 * P_nm * (
+                    coef(n, m) * cos_m + coef(n, -m) * sin_m
+                )
+    return r
 
 
 def _surface_normal(r, drt, drp, ct, st, cp, sp):
@@ -350,6 +397,8 @@ def _make_kernel(lmax: int):
             for k in range(3)
         )
         torque = _cross3(arm_i, force)
+        neg_force = tuple(-force[k] for k in range(3))
+        torque_j = _cross3(arm_j, neg_force)
         pe = jnp.where(
             in_contact,
             0.4 * kn * jnp.sqrt(r_eff) * delta * delta * jnp.sqrt(delta),
@@ -357,14 +406,135 @@ def _make_kernel(lmax: int):
         )
 
         out = jnp.concatenate(
-            list(force) + list(torque) + list(xi)
+            list(force) + list(torque) + list(torque_j) + list(xi)
             + [pe, in_contact.astype(pe.dtype)]
-            + [jnp.zeros_like(pe)] * (_NOUT - 11),
+            + [jnp.zeros_like(pe)] * (_NOUT - 14),
             axis=1,
         )
         out_ref[:, :] = out
 
     return kernel
+
+
+def _make_stage1_kernel(lmax: int):
+    """r-only containment probe on the coarse cap grid.
+
+    Writes the per-pair maximum signed node depth (r_target - rho; > 0
+    means a node of one surface lies inside the other) over BOTH probe
+    directions, or -1e9 for pairs failing the bounding-sphere cull. The
+    caller keeps pairs with depth > -margin for the full stage-2 kernel.
+    """
+
+    def kernel(pairs_ref, ci_ref, cj_ref, cap_ref, out_ref):
+        def col(name):
+            lo, hi = _SLOTS[name]
+            return pairs_ref[:, lo:hi]
+
+        def vec(name):
+            lo, hi = _SLOTS[name]
+            return tuple(pairs_ref[:, c:c + 1] for c in range(lo, hi))
+
+        cap_x = cap_ref[0:1, :]
+        cap_cpsi = cap_ref[2:3, :]
+        cap_spsi = cap_ref[3:4, :]
+
+        d = vec("d")
+        dist2 = _dot3(d, d)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+        inv_dist = 1.0 / dist
+        rsum = col("rbi") + col("rbj")
+        cull = (col("mask") > 0.5) & (dist < rsum) & (dist > 1e-12)
+
+        def side(q_a, q_b, c_a, c_b, rb_b, rm_a, rb_a, dx, dy, dz):
+            e_w = (dx * inv_dist, dy * inv_dist, dz * inv_dist)
+            e_b = _rot_inv(q_a, e_w)
+            rho_star = jnp.sqrt(jnp.maximum(dist * dist - rb_b * rb_b, 0.0))
+            rho_c = jnp.clip(rho_star, rm_a, rb_a)
+            cos_gmax = (rho_c * rho_c + dist * dist - rb_b * rb_b) / (
+                jnp.maximum(2.0 * rho_c * dist, 1e-12)
+            )
+            cos_gmax = jnp.clip(cos_gmax, -1.0, 1.0 - 1e-6)
+            one_m = 1.0 - cos_gmax
+            cos_g = 1.0 - one_m * cap_x
+            sin_g = jnp.sqrt(jnp.maximum(1.0 - cos_g * cos_g, 0.0))
+            ex, ey, ez = e_b
+            use_x = jnp.abs(ex) < 0.9
+            hx = jnp.where(use_x, 1.0, 0.0)
+            hy = jnp.where(use_x, 0.0, 1.0)
+            t1x = -ez * hy
+            t1y = ez * hx
+            t1z = ex * hy - ey * hx
+            inv_t1 = jax.lax.rsqrt(
+                jnp.maximum(t1x * t1x + t1y * t1y + t1z * t1z, 1e-24)
+            )
+            t1x, t1y, t1z = t1x * inv_t1, t1y * inv_t1, t1z * inv_t1
+            t2x = ey * t1z - ez * t1y
+            t2y = ez * t1x - ex * t1z
+            t2z = ex * t1y - ey * t1x
+            sc = sin_g * cap_cpsi
+            ss = sin_g * cap_spsi
+            dirx = cos_g * ex + sc * t1x + ss * t2x
+            diry = cos_g * ey + sc * t1y + ss * t2y
+            dirz = cos_g * ez + sc * t1z + ss * t2z
+            ct_a, st_a, cp_a, sp_a = _unit_trig(dirx, diry, dirz)
+            r_a = _radius_stream(c_a, ct_a, st_a, cp_a, sp_a, lmax)
+            rel = _rot(q_a, (r_a * dirx, r_a * diry, r_a * dirz))
+            u = _rot_inv(q_b, (rel[0] - dx, rel[1] - dy, rel[2] - dz))
+            rho = jnp.sqrt(
+                jnp.maximum(u[0] * u[0] + u[1] * u[1] + u[2] * u[2], 1e-24)
+            )
+            inv_rho = 1.0 / rho
+            ct_b, st_b, cp_b, sp_b = _unit_trig(
+                u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho
+            )
+            r_b = _radius_stream(c_b, ct_b, st_b, cp_b, sp_b, lmax)
+            return jnp.max(r_b - rho, axis=1, keepdims=True)
+
+        qi, qj = vec("qi"), vec("qj")
+        m_ij = side(qi, qj, ci_ref, cj_ref, col("rbj"), col("rmi"),
+                    col("rbi"), d[0], d[1], d[2])
+        m_ji = side(qj, qi, cj_ref, ci_ref, col("rbi"), col("rmj"),
+                    col("rbj"), -d[0], -d[1], -d[2])
+        depth = jnp.where(cull, jnp.maximum(m_ij, m_ji), -1e9)
+        out_ref[:, :] = jnp.broadcast_to(depth, out_ref.shape)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("lmax", "block", "interpret"))
+def stage1_depth_pallas(packed, ci, cj, cap1, lmax: int,
+                        block: int = 64, interpret: bool | None = None):
+    """Stage-1 probe over all pairs. Returns max signed depth [P]."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    P = packed.shape[0]
+    NC = ci.shape[1]
+    G1 = cap1.shape[1]
+    n_blocks = -(-P // block)
+    pad = n_blocks * block - P
+    if pad:
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+        ci = jnp.pad(ci, ((0, pad), (0, 0)))
+        cj = jnp.pad(cj, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        _make_stage1_kernel(lmax),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * block, 8), packed.dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, _F), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, NC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, NC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, G1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed, ci, cj, cap1)
+    return out[:P, 0]
 
 
 @partial(jax.jit, static_argnames=("lmax", "block", "interpret"))

@@ -120,6 +120,8 @@ class ShardedSimulation:
         deform_min: float = 1.0,
         use_pallas: bool = False,
         rebuild_every: int = 0,
+        wall_capacity: int = 0,
+        stage2_capacity: int = 0,
     ):
         self.shapes = shapes
         self.params = params
@@ -139,6 +141,8 @@ class ShardedSimulation:
         self.exact_eval = bool(exact_eval)
         self.use_pallas = bool(use_pallas)
         self.rebuild_every = int(rebuild_every)
+        self.wall_capacity = int(wall_capacity)
+        self.stage2_capacity = int(stage2_capacity)
 
         self.box_lo_np = np.asarray(box_lo, np.float64)
         self.box_hi_np = np.asarray(box_hi, np.float64)
@@ -176,7 +180,8 @@ class ShardedSimulation:
         if leaf.ndim < 1 or leaf.shape[0] % self.n_shards != 0:
             return False
         per_dev = leaf.shape[0] // self.n_shards
-        return per_dev in (self.cap_local, self.cap_ext, 2 * self.halo_cap)
+        return per_dev in (self.cap_local, self.cap_ext, 2 * self.halo_cap,
+                           self.pair_capacity)
 
     def _specs(self, tree):
         return jax.tree.map(
@@ -232,7 +237,8 @@ class ShardedSimulation:
             step=state_global.step,
         )
         neigh = empty_neighbors(
-            P_ * self.cap_ext, self.k_max, len(self.walls), dtype=dtype
+            P_ * self.cap_ext, self.k_max, len(self.walls), dtype=dtype,
+            pair_cap=P_ * self.pair_capacity,
         )
         # wall_hist rows only needed for owned slots; keep cap_ext for shape
         # uniformity with the neighbor rows.
@@ -448,6 +454,9 @@ class ShardedSimulation:
             state.x, state.image, state.box_lo, state.box_hi, self.periodic
         )
         state = state.replace(x=x, image=image)
+        # Fold live pair-space springs back into the tag-keyed [N, K]
+        # layout FIRST: migration ships [N, K] rows, and remap reads them.
+        neigh = neigh.replace(hist=contact.pair_hist_to_dense(neigh))
         state, neigh, mig_ovf = self._migrate(state, neigh)
 
         send_idx, send_mask, halo_ovf = self._halo_membership(state)
@@ -492,15 +501,23 @@ class ShardedSimulation:
         hist = neighbor.remap_history(
             neigh_tag, nmask, neigh.neigh_tag, neigh.mask, neigh.hist, row_ok
         )
+        pair_fields, n_pairs = contact.build_pair_list(
+            ext, self.shapes, self.params, nidx, nmask, hist,
+            owned & ext.active, self.pair_capacity, self.periodic_eff,
+        )
         overflow = jnp.maximum(
             jnp.maximum(jnp.max(count), cell_ovf),
             jnp.maximum(mig_ovf, halo_ovf),
+        )
+        overflow = jnp.maximum(
+            overflow, jnp.where(n_pairs > self.pair_capacity, n_pairs, 0)
         )
         overflow = jax.lax.pmax(overflow, "x")
         neigh = neigh.replace(
             idx=nidx, mask=nmask, hist=hist, neigh_tag=neigh_tag,
             row_tag=ext.tag, x_build=ext.x,
             overflow=jnp.maximum(neigh.overflow, overflow),
+            **pair_fields,
         )
         return state, neigh, ghosts
 
@@ -513,37 +530,46 @@ class ShardedSimulation:
 
     def _forces(self, state: State, neigh: NeighborState, ghosts: GhostPack):
         ext = self._extend(state, ghosts)
-        owned = self._owned_mask() & ext.active
-        f, tau, hist, pe_pair, virial, n_cand = contact.contact_force_compact(
-            ext, self.shapes, self.params, neigh,
-            pair_cap=self.pair_capacity, exact=self.exact_eval,
-            periodic=self.periodic_eff, chunk=self.pair_chunk, owned=owned,
-            use_pallas=self.use_pallas,
+        f, tau, pair_hist, pe_pair, virial, n_s2 = (
+            contact.contact_force_pairs(
+                ext, self.shapes, self.params, neigh,
+                exact=self.exact_eval,
+                periodic=self.periodic_eff, chunk=self.pair_chunk,
+                use_pallas=self.use_pallas,
+                stage2_cap=self.stage2_capacity,
+            )
         )
         neigh = neigh.replace(
-            hist=hist,
+            pair_hist=pair_hist,
             overflow=jnp.maximum(
                 neigh.overflow,
-                jax.lax.pmax(
-                    jnp.where(n_cand > self.pair_capacity, n_cand, 0), "x"
-                ),
+                jnp.where(n_s2 > max(self.stage2_capacity, 1), n_s2, 0),
             ),
         )
+        # Reactions onto ghost rows are intentionally dropped here: those
+        # pairs are one-sided (pair_both=False); the ghost's owner shard
+        # evaluates its own copy (Newton-off, SURVEY.md 3.5).
         f = f[: self.cap_local]
         tau = tau[: self.cap_local]
 
         pe_wall = jnp.zeros((), f.dtype)
         wall_hists = []
         for w_i, wall in enumerate(self.walls):
-            wf, wt, whist, wpe, _ = walls_mod.wall_contact(
+            wf, wt, whist, wpe, n_near = walls_mod.wall_contact(
                 state, self.shapes, self.params, wall,
                 neigh.wall_hist[: self.cap_local, w_i],
+                wall_cap=self.wall_capacity,
                 exact=self.exact_eval,
             )
             f = f + wf
             tau = tau + wt
             pe_wall = pe_wall + jnp.sum(wpe)
             wall_hists.append(whist)
+            if self.wall_capacity:
+                neigh = neigh.replace(overflow=jnp.maximum(
+                    neigh.overflow,
+                    jnp.where(n_near > self.wall_capacity, n_near, 0),
+                ))
         if wall_hists:
             wh = jnp.stack(wall_hists, axis=1)
             neigh = neigh.replace(
@@ -660,11 +686,20 @@ def _run_jit(sim: ShardedSimulation, state, neigh, ghosts, n_steps: int):
                 )
             return (s, n, g), None
 
-        if R > 0 and n_steps % R == 0:
-            (state, neigh, ghosts), _ = jax.lax.scan(
-                cadence_block, (state, neigh, ghosts), None,
-                length=n_steps // R,
-            )
+        if R > 0:
+            # Cadence blocks + a displacement-checked remainder (so a
+            # non-multiple n_steps no longer silently falls back to
+            # per-step checking for the WHOLE run).
+            n_blocks, rem = divmod(n_steps, R)
+            if n_blocks > 0:
+                (state, neigh, ghosts), _ = jax.lax.scan(
+                    cadence_block, (state, neigh, ghosts), None,
+                    length=n_blocks,
+                )
+            if rem:
+                (state, neigh, ghosts), _ = jax.lax.scan(
+                    one, (state, neigh, ghosts), None, length=rem
+                )
             return state, neigh, ghosts
         (state, neigh, ghosts), _ = jax.lax.scan(
             one, (state, neigh, ghosts), None, length=n_steps

@@ -3,8 +3,12 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spherharm_tpu.models import scenarios
+
+
+pytestmark = pytest.mark.slow  # minutes-long physics horizons
 
 
 def test_cadence_matches_triggered():

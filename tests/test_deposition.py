@@ -75,6 +75,7 @@ def test_offcenter_contact_generates_torque():
     assert max(torques) > 1e-2  # lever arms are O(contact offset)
 
 
+@pytest.mark.slow
 def test_small_deposition_dissipates_and_rotates():
     sim, state, neigh = scenarios.deposition(
         n=40, lmax=6, dt=1.5e-4, k_max=24, contact_quad=(8, 16),

@@ -31,6 +31,7 @@ def test_dump_roundtrip(tmp_path):
     assert len(read_dump(path)) == 2
 
 
+@pytest.mark.slow
 def test_restart_roundtrip_bitexact(tmp_path):
     """Resume must reproduce the exact trajectory — including friction
     springs (SURVEY.md 3.4 'contact history survives restart')."""
@@ -99,6 +100,7 @@ run             3000
 """
 
 
+@pytest.mark.slow
 def test_deck_two_body(tmp_path):
     # Build the two-body data file, then run the deck and check physics.
     sim, state, neigh = scenarios.two_body_collision()

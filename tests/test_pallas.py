@@ -12,6 +12,9 @@ from spherharm_tpu.ops import contact, contact_pallas
 from spherharm_tpu.ops.contact import minimum_image
 
 
+pytestmark = pytest.mark.slow  # minutes-long physics horizons
+
+
 def _random_pairs(seed=0, lmax=4, n=24, contact_quad=(8, 16)):
     rng = np.random.default_rng(seed)
     coeffs = np.stack([
@@ -51,7 +54,8 @@ def test_pallas_kernel_matches_reference():
     # jnp reference
     gi = contact.gather_particle(state, shapes, pi)
     gj = contact.gather_particle(state, shapes, pj)
-    f_ref, tau_ref, hist_ref, pe_ref, inc_ref, d_ref = contact.pair_contact(
+    (f_ref, tau_ref, tauj_ref, hist_ref, pe_ref, inc_ref,
+     d_ref) = contact.pair_contact(
         gi[0], gi[1], gi[2], gi[3], gi[4], gi[5], gi[6],
         gj[0], gj[1], gj[2], gj[3], gj[4], gj[5], gj[6],
         hist, mask, state.box_lo, state.box_hi, shapes, params,
@@ -66,17 +70,71 @@ def test_pallas_kernel_matches_reference():
     )
     f = np.asarray(out[:, 0:3])
     tau = np.asarray(out[:, 3:6])
-    hist_new = np.asarray(out[:, 6:9])
-    pe = np.asarray(out[:, 9])
-    inc = np.asarray(out[:, 10]) > 0.5
+    tau_j = np.asarray(out[:, 6:9])
+    hist_new = np.asarray(out[:, 9:12])
+    pe = np.asarray(out[:, 12])
+    inc = np.asarray(out[:, 13]) > 0.5
 
     fmag = max(float(jnp.abs(f_ref).max()), 1e-6)
     np.testing.assert_array_equal(inc, np.asarray(inc_ref))
     np.testing.assert_allclose(f, np.asarray(f_ref), atol=2e-3 * fmag)
     np.testing.assert_allclose(tau, np.asarray(tau_ref), atol=2e-3 * fmag)
+    np.testing.assert_allclose(tau_j, np.asarray(tauj_ref),
+                               atol=2e-3 * fmag)
     np.testing.assert_allclose(
         hist_new, np.asarray(hist_ref), atol=1e-6 + 1e-3 * np.abs(hist_ref).max()
     )
     np.testing.assert_allclose(pe, np.asarray(pe_ref),
                                atol=2e-3 * max(float(pe_ref.max()), 1e-6))
     assert inc.sum() > 3, "test system should have several contacts"
+
+
+def test_two_stage_matches_single_stage():
+    """Two-stage narrow phase (r-only coarse probe -> full kernel on
+    survivors) must reproduce the single-stage forces exactly: stage 1
+    may only cull pairs the full kernel finds force-free."""
+    from spherharm_tpu.core.simulation import Simulation
+    from spherharm_tpu.ops.neighbor import CellGrid
+
+    rng = np.random.default_rng(3)
+    lmax = 4
+    coeffs = np.stack([
+        shapes_library.blob_coeffs(lmax, seed=11 + t, mean_radius=0.5,
+                                   roughness=0.12)
+        for t in range(3)
+    ])
+    shapes = shapes_library.build_shapes(coeffs, lmax, contact_quad=(8, 16))
+    box = 6.0
+    n = 80
+    # Dense-ish random gas: plenty of bounding-sphere candidates that are
+    # NOT touching (the population stage 1 exists to cull).
+    x = rng.uniform(0.8, box - 0.8, (n, 3))
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    params = SimParams.create(dt=1e-4, kn=1e5, gamma_n=20.0, mu=0.4,
+                              cutoff=1.4, skin=0.3)
+    state = scenarios.make_state(
+        x, [0, 0, 0], [box] * 3, q=q,
+        v=rng.normal(size=(n, 3)) * 0.3,
+        scale=rng.uniform(0.85, 1.15, n),
+        shtype=rng.integers(0, 3, n),
+    )
+    grid = CellGrid([0, 0, 0], [box] * 3, 1.7)
+    kw = dict(neighbor_mode="cell", grid=grid, k_max=24, cell_cap=12,
+              pair_capacity=1024, use_pallas=True)
+    sim_a = Simulation(shapes, params, stage2_capacity=256, **kw)
+    sim_b = Simulation(shapes, params, stage2_capacity=0, **kw)
+    sa, na = sim_a.init_neighbors(state)
+    sb, nb = sim_b.init_neighbors(state)
+    sa, na, _ = sim_a.compute_forces(sa, na)
+    sb, nb, _ = sim_b.compute_forces(sb, nb)
+    assert int(na.overflow) < 256  # stage-2 capacity honored
+    assert float(jnp.abs(sa.f).max()) > 0, "should have real contacts"
+    np.testing.assert_allclose(np.asarray(sa.f), np.asarray(sb.f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sa.tau), np.asarray(sb.tau),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(na.pair_hist), np.asarray(nb.pair_hist),
+        rtol=1e-6, atol=1e-9,
+    )

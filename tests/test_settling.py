@@ -4,9 +4,13 @@ validation (scaled down for CI runtime)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spherharm_tpu.core import computes
 from spherharm_tpu.models import scenarios
+
+
+pytestmark = pytest.mark.slow  # minutes-long physics horizons
 
 
 def test_settling_packs_and_calms():

@@ -15,6 +15,9 @@ from spherharm_tpu.ops.neighbor import CellGrid
 from spherharm_tpu.parallel.halo import ShardedSimulation
 
 
+pytestmark = pytest.mark.slow  # minutes-long physics horizons
+
+
 def _setup(n=96, lmax=2, seed=0, dtype=jnp.float32):
     """Periodic box of ellipsoids with random velocities (gas-like)."""
     rng = np.random.default_rng(seed)
@@ -211,23 +214,37 @@ def test_seam_crossing_pairs_match_single_device():
             # contact live to ~120): per-pair springs must MATCH, not
             # merely exist — a spring dropped at migration re-grows to
             # only ~40% of the true value by now (measured), so rtol
-            # 0.25 cleanly separates shipped from dropped.
-            def pair_spring(hist, ntag, mask, row, partner):
-                sel = (np.asarray(ntag)[row] == partner) & np.asarray(mask)[row]
-                assert sel.any(), f"no live contact row={row} partner={partner}"
-                return np.asarray(hist)[row][sel][0]
+            # 0.25 cleanly separates shipped from dropped. Live springs
+            # ride in PAIR space between rebuilds; look them up there
+            # (the spring of direction b->a is the negation of a->b).
+            def live_spring(ng, row_tags, n_blk, pc, rows_blk,
+                            tag_a, tag_b):
+                pi_a = np.asarray(ng.pair_i)
+                pj_a = np.asarray(ng.pair_j)
+                ok = np.asarray(ng.pair_valid)
+                ph = np.asarray(ng.pair_hist)
+                for dblk in range(n_blk):
+                    sl = slice(dblk * pc, (dblk + 1) * pc)
+                    ti = row_tags[dblk * rows_blk + pi_a[sl]]
+                    tj = row_tags[dblk * rows_blk + pj_a[sl]]
+                    fwd = ok[sl] & (ti == tag_a) & (tj == tag_b)
+                    rev = ok[sl] & (ti == tag_b) & (tj == tag_a)
+                    if fwd.any():
+                        return ph[sl][fwd][0, :3]
+                    if rev.any():
+                        return -ph[sl][rev][0, :3]
+                raise AssertionError(
+                    f"no live pair for tags {tag_a},{tag_b}"
+                )
 
-            cap_local, cap_ext = sim8.cap_local, sim8.cap_ext
-            tag_arr = np.asarray(s8.tag)
-            act_arr = np.asarray(s8.active)
+            rt8 = np.asarray(ng8.row_tag)
+            rt1 = np.asarray(n1.row_tag)
             for pi in range(8):
                 t_left, t_right = 2 * pi + 1, 2 * pi + 2
-                h1v = pair_spring(n1.hist, n1.neigh_tag, n1.mask,
-                                  t_left - 1, t_right)
-                i8 = int(np.flatnonzero(act_arr & (tag_arr == t_left))[0])
-                r8 = (i8 // cap_local) * cap_ext + i8 % cap_local
-                h8v = pair_spring(ng8.hist, ng8.neigh_tag, ng8.mask,
-                                  r8, t_right)
+                h1v = live_spring(n1, rt1, 1, sim1.pair_capacity,
+                                  s1.cap, t_left, t_right)
+                h8v = live_spring(ng8, rt8, n_dev, sim8.pair_capacity,
+                                  sim8.cap_ext, t_left, t_right)
                 n1v = np.linalg.norm(h1v)
                 assert n1v > 1e-4, f"pair {pi}: single-device spring empty"
                 assert np.linalg.norm(h8v - h1v) < 0.25 * n1v, (

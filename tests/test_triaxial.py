@@ -11,6 +11,9 @@ from jax.sharding import Mesh
 from spherharm_tpu.models import scenarios
 
 
+pytestmark = pytest.mark.slow  # minutes-long physics horizons
+
+
 def test_triaxial_compression_builds_pressure():
     sim, state, neigh = scenarios.triaxial_cell(
         n=64, lmax=2, strain_rate=(-0.2, -0.2, -0.2), dt=2e-4, k_max=24,
