@@ -60,6 +60,7 @@ class Simulation:
         rebuild_every: int = 0,
         wall_capacity: int = 0,
         stage2_capacity: int = 0,
+        triclinic: bool = False,
         gravity_pe_origin=(0.0, 0.0, 0.0),
     ):
         self.shapes = shapes
@@ -85,30 +86,40 @@ class Simulation:
         self.rebuild_every = int(rebuild_every)
         self.wall_capacity = int(wall_capacity)
         self.stage2_capacity = int(stage2_capacity)
+        # Triclinic mode: thread state.tilt into every geometry op. For
+        # tilted cells size the CellGrid with a tilt-inflated cutoff
+        # (binning runs in the unsheared frame; see ops/contact.py
+        # unshear_coords).
+        self.triclinic = bool(triclinic)
         self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
         if neighbor_mode == "cell" and grid is None:
             raise ValueError("neighbor_mode='cell' requires a CellGrid")
 
     # -- neighbor handling ------------------------------------------------
 
+    def _tilt(self, state: State):
+        return state.tilt if self.triclinic else None
+
     def _build_list(self, state: State):
         cutoff = self.params.cutoff + self.params.skin
         if self.neighbor_mode in ("allpairs", "static"):
             idx, mask, count = neighbor.allpairs_neighbors(
                 state.x, state.active, state.box_lo, state.box_hi,
-                cutoff, self.k_max, self.periodic,
+                cutoff, self.k_max, self.periodic, tilt=self._tilt(state),
             )
             overflow = jnp.max(count)
             return idx, mask, overflow
         idx, mask, count, cell_ovf = neighbor.cell_list_neighbors(
             state.x, state.active, state.box_lo, state.box_hi, cutoff,
             self.grid.dims, self.cell_cap, self.k_max, self.periodic,
+            tilt=self._tilt(state),
         )
         return idx, mask, jnp.maximum(jnp.max(count), cell_ovf)
 
     def _rebuild(self, state: State, neigh: NeighborState):
         x, image = neighbor.wrap_positions(
-            state.x, state.image, state.box_lo, state.box_hi, self.periodic
+            state.x, state.image, state.box_lo, state.box_hi, self.periodic,
+            tilt=self._tilt(state),
         )
         state = state.replace(x=x, image=image)
         if self.pair_capacity > 0:
@@ -130,6 +141,7 @@ class Simulation:
             pair_fields, n_pairs = contact.build_pair_list(
                 state, self.shapes, self.params, idx, mask, hist,
                 state.active, self.pair_capacity, self.periodic,
+                tilt=self._tilt(state),
             )
             neigh = neigh.replace(
                 overflow=jnp.maximum(
@@ -154,6 +166,7 @@ class Simulation:
         disp2 = neighbor.max_displacement2(
             state.x, neigh.x_build, state.active,
             state.box_lo, state.box_hi, self.periodic,
+            tilt=self._tilt(state),
         )
         need = disp2 > (0.5 * self.params.skin) ** 2
         return jax.lax.cond(
@@ -172,6 +185,7 @@ class Simulation:
                     chunk=self.pair_chunk or 16384,
                     use_pallas=self.use_pallas,
                     stage2_cap=self.stage2_capacity,
+                    tilt=self._tilt(state),
                 )
             )
             neigh = neigh.replace(
@@ -185,7 +199,7 @@ class Simulation:
             f, tau, hist, pe_pair, virial = contact.contact_force_dense(
                 state, self.shapes, self.params, neigh,
                 exact=self.exact_eval, periodic=self.periodic,
-                chunk=self.pair_chunk,
+                chunk=self.pair_chunk, tilt=self._tilt(state),
             )
             neigh = neigh.replace(hist=hist)
 
@@ -239,6 +253,7 @@ class Simulation:
             disp2 = neighbor.max_displacement2(
                 state.x, neigh.x_build, state.active,
                 state.box_lo, state.box_hi, self.periodic,
+                tilt=self._tilt(state),
             )
             viol = (disp2 > (0.5 * self.params.skin) ** 2).astype(jnp.int32)
             state, neigh = self._rebuild(state, neigh)

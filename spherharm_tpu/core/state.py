@@ -36,6 +36,8 @@ class State:
     image: jax.Array    # [cap, 3] int32 PBC image counters
     box_lo: jax.Array   # [3]
     box_hi: jax.Array   # [3]
+    tilt: jax.Array     # [3] triclinic tilt factors (xy, xz, yz); box edge
+                        # vectors a=(Lx,0,0), b=(xy,Ly,0), c=(xz,yz,Lz)
     step: jax.Array     # int32 scalar timestep counter
 
     @property
@@ -174,6 +176,16 @@ class SimParams:
       poly = sqrt(delta * R_eff)
       F_n  = poly * (kn * delta - m_eff * gamma_n * v_n)
       F_t  = -poly * (kt * xi + m_eff * gamma_t * v_t),  |F_t| <= mu |F_n|
+
+    Optional rolling resistance (LAMMPS granular ``rolling sds``
+    spring-dashpot-slider; config 4 "friction + rolling"):
+
+      v_roll = -R_eff * (n x (omega_i - omega_j))
+      F_r    = -k_roll * xi_r - gamma_roll * v_roll, |F_r| <= mu_roll |F_n|
+      tau_i += R_eff * (n x F_r);  tau_j -= R_eff * (n x F_r)
+
+    (a pure torque pair — no center force). k_roll = gamma_roll = 0
+    disables the model.
     """
 
     dt: jax.Array
@@ -182,18 +194,25 @@ class SimParams:
     gamma_n: jax.Array
     gamma_t: jax.Array
     mu: jax.Array
+    k_roll: jax.Array
+    gamma_roll: jax.Array
+    mu_roll: jax.Array
     gravity: jax.Array       # [3]
     skin: jax.Array          # Verlet skin distance
     cutoff: jax.Array        # neighbor cutoff = 2*max(rmax*scale) (+ margin)
     deform_rate: jax.Array   # [3] diagonal engineering strain rate (fix
                              # deform analogue; triaxial cell of config 5)
+    shear_rate: jax.Array    # [3] off-diagonal engineering shear rates
+                             # (d vx/dy, d vx/dz, d vy/dz): grows the
+                             # (xy, xz, yz) tilt (fix deform xy/xz/yz)
     press_target: jax.Array  # [3] target diagonal stress (servo control)
     press_tau: jax.Array     # Berendsen coupling time; 0 disables servo
 
     @classmethod
     def create(cls, dt, kn, kt=None, gamma_n=0.0, gamma_t=None, mu=0.5,
+               k_roll=0.0, gamma_roll=0.0, mu_roll=0.0,
                gravity=(0.0, 0.0, 0.0), skin=0.0, cutoff=1.0,
-               deform_rate=(0.0, 0.0, 0.0),
+               deform_rate=(0.0, 0.0, 0.0), shear_rate=(0.0, 0.0, 0.0),
                press_target=(0.0, 0.0, 0.0), press_tau=0.0,
                dtype=jnp.float32):
         if kt is None:
@@ -203,9 +222,12 @@ class SimParams:
         f = lambda x: jnp.asarray(x, dtype=dtype)
         return cls(
             dt=f(dt), kn=f(kn), kt=f(kt), gamma_n=f(gamma_n),
-            gamma_t=f(gamma_t), mu=f(mu), gravity=f(jnp.asarray(gravity)),
+            gamma_t=f(gamma_t), mu=f(mu),
+            k_roll=f(k_roll), gamma_roll=f(gamma_roll), mu_roll=f(mu_roll),
+            gravity=f(jnp.asarray(gravity)),
             skin=f(skin), cutoff=f(cutoff),
             deform_rate=f(jnp.asarray(deform_rate)),
+            shear_rate=f(jnp.asarray(shear_rate)),
             press_target=f(jnp.asarray(press_target)),
             press_tau=f(press_tau),
         )
@@ -229,12 +251,13 @@ def zeros_state(cap: int, box_lo, box_hi, dtype=jnp.float32) -> State:
         image=jnp.zeros((cap, 3), jnp.int32),
         box_lo=jnp.asarray(box_lo, dtype),
         box_hi=jnp.asarray(box_hi, dtype),
+        tilt=jnp.zeros((3,), dtype),
         step=jnp.asarray(0, jnp.int32),
     )
 
 
-# Width of the per-contact spring state: 3 tangential (+3 rolling later).
-HIST_W = 3
+# Width of the per-contact spring state: 3 tangential + 3 rolling.
+HIST_W = 6
 
 
 def empty_neighbors(cap: int, k_max: int, n_walls: int = 0,

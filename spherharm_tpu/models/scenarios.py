@@ -28,6 +28,7 @@ def make_state(
     scale=None,
     shtype=None,
     cap=None,
+    tilt=None,
     dtype=jnp.float32,
 ) -> State:
     """Pack numpy arrays into a fixed-capacity State (extra slots inactive)."""
@@ -35,6 +36,8 @@ def make_state(
     n = x.shape[0]
     cap = cap or n
     st = zeros_state(cap, box_lo, box_hi, dtype)
+    if tilt is not None:
+        st = st.replace(tilt=jnp.asarray(tilt, st.tilt.dtype))
     put = lambda field, val: field.at[:n].set(jnp.asarray(val, field.dtype))
     st = st.replace(
         x=put(st.x, x),
@@ -271,6 +274,7 @@ def triaxial_cell(
     mean_radius: float = 0.5,
     fill_fraction: float = 0.35,
     strain_rate=(-0.05, -0.05, -0.05),
+    shear_rate=(0.0, 0.0, 0.0),
     press_target: float = 0.0,
     press_tau: float = 0.0,
     kn: float = 1.0e5,
@@ -324,13 +328,14 @@ def triaxial_cell(
     params = SimParams.create(
         dt=dt, kn=kn, gamma_n=gamma_n, mu=mu,
         skin=0.4 * rmax, cutoff=2.0 * rmax,
-        deform_rate=strain_rate,
+        deform_rate=strain_rate, shear_rate=shear_rate,
         press_target=(press_target,) * 3, press_tau=press_tau,
         dtype=dtype,
     )
     state = make_state(x, [0, 0, 0], [box, box, box], v=v, q=q,
                        shtype=shtype, dtype=dtype)
     periodic = (True, True, True)
+    triclinic = any(abs(s) > 0 for s in shear_rate)
     if sharded:
         from spherharm_tpu.parallel.halo import ShardedSimulation
 
@@ -343,16 +348,21 @@ def triaxial_cell(
             periodic=periodic, k_max=k_max, cell_cap=12,
             pair_capacity=max(12 * n // n_dev, 256),
             deform_min=deform_min,
+            triclinic=triclinic,
+            # covers |xy| up to 12% of the box; longer shear runs should
+            # pass their own pad via halo_cap/slab sizing
+            tilt_pad=0.12 * box if triclinic else 0.0,
         )
         st, ng, gh = sim.init(state)
         return sim, st, ng, gh
     grid = CellGrid(
-        [0, 0, 0], [box * deform_min] * 3, 2.4 * rmax, periodic
+        [0, 0, 0], [box * deform_min] * 3,
+        2.4 * rmax * (1.4 if triclinic else 1.0), periodic
     )
     sim = Simulation(
         shapes, params, periodic=periodic, neighbor_mode="cell", grid=grid,
         k_max=k_max, cell_cap=16, pair_capacity=max(12 * n, 512),
-        press_control=press_tau > 0,
+        press_control=press_tau > 0, triclinic=triclinic,
     )
     st, ng = sim.init_neighbors(state)
     return sim, st, ng

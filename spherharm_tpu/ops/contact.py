@@ -64,12 +64,49 @@ from spherharm_tpu.ops.rotation import (
 )
 
 
-def minimum_image(d, box_lo, box_hi, periodic):
-    """Minimum-image displacement for periodic dims (static flags)."""
+def minimum_image(d, box_lo, box_hi, periodic, tilt=None):
+    """Minimum-image displacement for periodic dims (static flags).
+
+    ``tilt`` = (xy, xz, yz) triclinic tilt factors (box edge vectors
+    a=(Lx,0,0), b=(xy,Ly,0), c=(xz,yz,Lz)). With tilt, images are
+    removed sequentially c -> b -> a (valid for |tilt| <= L/2, the
+    LAMMPS bound). tilt=None compiles to the orthogonal fast path.
+    """
     L = box_hi - box_lo
-    shift = jnp.round(d / L) * L
     pmask = jnp.asarray(periodic, dtype=d.dtype)
-    return d - shift * pmask
+    if tilt is None:
+        shift = jnp.round(d / L) * L
+        return d - shift * pmask
+    xy, xz, yz = tilt[0], tilt[1], tilt[2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    n3 = jnp.round(dz / L[2]) * pmask[2]
+    dx = dx - n3 * xz
+    dy = dy - n3 * yz
+    dz = dz - n3 * L[2]
+    n2 = jnp.round(dy / L[1]) * pmask[1]
+    dx = dx - n2 * xy
+    dy = dy - n2 * L[1]
+    n1 = jnp.round(dx / L[0]) * pmask[0]
+    dx = dx - n1 * L[0]
+    return jnp.stack([dx, dy, dz], axis=-1)
+
+
+def unshear_coords(x, box_lo, box_hi, tilt):
+    """Map positions to the unsheared (orthogonalized) frame.
+
+    x' = lo + L * frac(x) with frac = H^-1 (x - lo) via back-substitution
+    through the upper-triangular cell matrix H = [a|b|c]. Periodic
+    images are exact orthogonal translations of these coordinates, so
+    cell binning stays correct under tilt (size cells with a
+    tilt-inflated cutoff; the distance filter itself uses the exact
+    triclinic minimum image).
+    """
+    L = box_hi - box_lo
+    f3 = (x[..., 2] - box_lo[2]) / L[2]
+    f2 = (x[..., 1] - box_lo[1] - tilt[2] * f3) / L[1]
+    xp = x[..., 0] - tilt[0] * f2 - tilt[1] * f3
+    yp = box_lo[1] + L[1] * f2
+    return jnp.stack([xp, yp, x[..., 2]], axis=-1)
 
 
 def eval_radius(shapes, types, theta, phi, exact: bool):
@@ -255,7 +292,8 @@ def particle_rows(state, shapes, active=None):
 @partial(jax.jit, static_argnames=("exact", "periodic"))
 def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
                       box_lo, box_hi, shapes, params,
-                      exact: bool = False, periodic=(False, False, False)):
+                      exact: bool = False, periodic=(False, False, False),
+                      tilt=None):
     """Full contact law for a batch of P candidate pairs (row inputs).
 
     Returns (force_on_i [P,3], torque_on_i [P,3], torque_on_j [P,3],
@@ -273,7 +311,7 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
     rc_i, rc_j = rows_i[:, _RRC], rows_j[:, _RRC]
     s_i, s_j = rows_i[:, _RS], rows_j[:, _RS]
 
-    d = minimum_image(x_j - x_i, box_lo, box_hi, periodic)
+    d = minimum_image(x_j - x_i, box_lo, box_hi, periodic, tilt)
     dist = jnp.linalg.norm(d, axis=-1)
     rsum = rb_i + rb_j
     cull = pair_mask & (dist < rsum) & (dist > 1e-12)
@@ -326,7 +364,7 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
     f_n = fn_mag[..., None] * n_hat
 
     # Tangential history spring (world frame), projected tangent each step.
-    xi = hist
+    xi = hist[..., 0:3]
     xi = xi - jnp.sum(xi * n_hat, axis=-1, keepdims=True) * n_hat
     xi = jnp.where(in_contact[..., None], xi + vt * params.dt, 0.0)
     f_t = -(poly[..., None]) * (params.kt * xi + m_eff[..., None] * params.gamma_t * vt)
@@ -343,9 +381,35 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
         xi,
     )
 
+    # Rolling resistance (spring-dashpot-slider; see SimParams docstring).
+    # Symmetric under pair-direction swap: v_roll(j,i) == v_roll(i,j).
+    roll_on = (params.k_roll > 0) | (params.gamma_roll > 0)
+    v_roll = -r_eff[..., None] * jnp.cross(n_hat, om_i - om_j)
+    xi_r = hist[..., 3:6]
+    xi_r = xi_r - jnp.sum(xi_r * n_hat, axis=-1, keepdims=True) * n_hat
+    xi_r = jnp.where(
+        (in_contact & roll_on)[..., None], xi_r + v_roll * params.dt, 0.0
+    )
+    f_r = -(params.k_roll * xi_r + params.gamma_roll * v_roll)
+    fr_mag = jnp.linalg.norm(f_r, axis=-1)
+    cap_r = params.mu_roll * fn_mag
+    over_r = fr_mag > jnp.maximum(cap_r, 1e-30)
+    f_r = f_r * jnp.where(
+        over_r, cap_r / jnp.maximum(fr_mag, 1e-30), 1.0
+    )[..., None]
+    xi_r = jnp.where(
+        (over_r & (params.k_roll > 0))[..., None],
+        -(f_r + params.gamma_roll * v_roll)
+        / jnp.maximum(params.k_roll, 1e-30),
+        xi_r,
+    )
+    tau_roll = r_eff[..., None] * jnp.cross(n_hat, f_r)
+    tau_roll = jnp.where(in_contact[..., None], tau_roll, 0.0)
+
     force = jnp.where(in_contact[..., None], f_n + f_t, 0.0)
-    torque = jnp.cross(arm_i, force)
-    torque_j = jnp.cross(arm_j, -force)
+    torque = jnp.cross(arm_i, force) + tau_roll
+    torque_j = jnp.cross(arm_j, -force) - tau_roll
+    xi = jnp.concatenate([xi, xi_r], axis=-1)
     # Elastic PE of the Hertzian spring: integral kn*sqrt(R)*d^{3/2} dd.
     pe = jnp.where(
         in_contact,
@@ -398,7 +462,7 @@ def gather_particle(state, shapes, idx):
 def contact_force_dense(state, shapes, params, neigh,
                         exact: bool = False,
                         periodic=(False, False, False),
-                        chunk: int = 0):
+                        chunk: int = 0, tilt=None):
     """Force/torque over the dense [N, K] neighbor tensor.
 
     Returns (f [N,3], tau [N,3], new_hist [N,K,3], pe_total, virial [3,3]).
@@ -418,14 +482,15 @@ def contact_force_dense(state, shapes, params, neigh,
         return pair_contact_rows(
             ri, rj, ti, tj, hist, msk,
             state.box_lo, state.box_hi, shapes, params,
-            exact=exact, periodic=periodic,
+            exact=exact, periodic=periodic, tilt=tilt,
         )
 
     flat_i = i_idx.reshape(-1)
     flat_j = neigh.idx.reshape(-1)
     blocks = (rows[flat_i], rows[flat_j],
               state.shtype[flat_i], state.shtype[flat_j],
-              neigh.mask.reshape(-1), neigh.hist.reshape(-1, 3))
+              neigh.mask.reshape(-1),
+              neigh.hist.reshape(-1, neigh.hist.shape[-1]))
     if chunk and N * K > chunk:
         n_chunks = -(-N * K // chunk)
         pad = n_chunks * chunk - N * K
@@ -450,13 +515,14 @@ def contact_force_dense(state, shapes, params, neigh,
     pe_total = 0.5 * jnp.sum(pe)
     # Virial: W_ab = -1/2 sum_pairs d_a F_b (d = x_j - x_i, F on i).
     virial = -0.5 * jnp.einsum("pa,pb->ab", d, force)
-    return f, tau, hist_new.reshape(N, K, 3), pe_total, virial
+    return f, tau, hist_new.reshape(N, K, -1), pe_total, virial
 
 
 @partial(jax.jit, static_argnames=("pair_cap", "periodic", "half"))
 def build_pair_list(state, shapes, params, neigh_idx, neigh_mask, hist,
                     owned, pair_cap: int,
-                    periodic=(False, False, False), half: bool = True):
+                    periodic=(False, False, False), half: bool = True,
+                    tilt=None):
     """Compact the [N, K] Verlet tensor into a stable pair list.
 
     Runs ONCE per neighbor rebuild (LAMMPS's actual structure: the pair
@@ -482,7 +548,7 @@ def build_pair_list(state, shapes, params, neigh_idx, neigh_mask, hist,
     rb = shapes.rmax[state.shtype] * state.scale
     xj = state.x[neigh_idx]
     d = minimum_image(
-        xj - state.x[:, None, :], state.box_lo, state.box_hi, periodic
+        xj - state.x[:, None, :], state.box_lo, state.box_hi, periodic, tilt
     )
     dist2 = jnp.sum(d * d, axis=-1)
     margin = rb[:, None] + rb[neigh_idx] + params.skin
@@ -539,16 +605,20 @@ def pair_hist_to_dense(neigh):
     """Scatter live pair springs back into the tag-keyed [N, K] layout.
 
     Called at rebuild time, BEFORE migration/remap: both the (i->j) slot
-    and the mirror (j->i) slot are written — the mirror with NEGATED
-    spring (row j's spring accumulates -v_t of row i's) — so
-    remap_history finds the spring regardless of which direction the
-    next half-list pick or a shard migration lands on.
+    and the mirror (j->i) slot are written, so remap_history finds the
+    spring regardless of which direction the next half-list pick or a
+    shard migration lands on. The mirror's TANGENTIAL part is negated
+    (row j's spring accumulates -v_t of row i's); the ROLLING part is
+    direction-symmetric (v_roll(j,i) == v_roll(i,j)).
     """
     N, K, hw = neigh.hist.shape
     val = jnp.where(neigh.pair_valid[:, None], neigh.pair_hist, 0.0)
+    mirror_sign = jnp.asarray(
+        [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0][:hw], neigh.hist.dtype
+    )
     flat = jnp.zeros((N * K + 1, hw), neigh.hist.dtype)
     flat = flat.at[neigh.pair_sel].set(val, mode="drop")
-    flat = flat.at[neigh.pair_selj].set(-val, mode="drop")
+    flat = flat.at[neigh.pair_selj].set(val * mirror_sign, mode="drop")
     return flat[:-1].reshape(N, K, hw)
 
 
@@ -559,7 +629,7 @@ def contact_force_pairs(state, shapes, params, neigh,
                         periodic=(False, False, False),
                         chunk: int = 16384,
                         use_pallas: bool = False,
-                        stage2_cap: int = 0):
+                        stage2_cap: int = 0, tilt=None):
     """Per-step force/torque over the stable pair list (the hot path).
 
     No per-step broad phase, sort, or [N, K] traffic: two row-gathers,
@@ -592,7 +662,7 @@ def contact_force_pairs(state, shapes, params, neigh,
 
         dp = minimum_image(
             rows_j[:, _RX] - rows_i[:, _RX],
-            state.box_lo, state.box_hi, periodic,
+            state.box_lo, state.box_hi, periodic, tilt,
         )
         packed, ci, cj, cap, par = contact_pallas.pack_pairs(
             state, shapes, params, pi, pj, msk, neigh.pair_hist, dp,
@@ -633,8 +703,8 @@ def contact_force_pairs(state, shapes, params, neigh,
         force = out[:, 0:3]
         torque = out[:, 3:6]
         torque_j = out[:, 6:9]
-        hist_new = out[:, 9:12]
-        pe = out[:, 12]
+        hist_new = out[:, 9:15]
+        pe = out[:, 15]
         d = dp
     else:
         def run(block):
@@ -642,7 +712,7 @@ def contact_force_pairs(state, shapes, params, neigh,
             return pair_contact_rows(
                 ri, rj, ti, tj, h, m,
                 state.box_lo, state.box_hi, shapes, params,
-                exact=exact, periodic=periodic,
+                exact=exact, periodic=periodic, tilt=tilt,
             )
 
         blocks = (rows_i, rows_j, state.shtype[pi], state.shtype[pj],

@@ -40,9 +40,10 @@ _SLOTS = {
     "mi": (13, 14), "rbi": (14, 15), "rmi": (15, 16), "rci": (16, 17),
     "xj": (17, 20), "vj": (20, 23), "qj": (23, 27), "omj": (27, 30),
     "mj": (30, 31), "rbj": (31, 32), "rmj": (32, 33), "rcj": (33, 34),
-    "hist": (34, 37), "mask": (37, 38), "d": (38, 41),
+    "hist": (34, 40), "mask": (40, 41), "d": (41, 44),
 }
-_NOUT = 16
+_NOUT = 24  # force 0:3, tau_i 3:6, tau_j 6:9, springs 9:15, pe 15, contact 16
+_NPAR = 16
 
 
 def _rot(q, v):
@@ -357,6 +358,9 @@ def _make_kernel(lmax: int):
         gn = par_ref[0, 3]
         gt = par_ref[0, 4]
         mu = par_ref[0, 5]
+        k_roll = par_ref[0, 6]
+        g_roll = par_ref[0, 7]
+        mu_roll = par_ref[0, 8]
 
         vi, vj = vec("vi"), vec("vj")
         omi, omj = vec("omi"), vec("omj")
@@ -370,7 +374,9 @@ def _make_kernel(lmax: int):
 
         fn_mag = jnp.maximum(poly * (kn * delta - m_eff * gn * vn_mag), 0.0)
 
-        hist = vec("hist")
+        hist6 = vec("hist")
+        hist = hist6[0:3]
+        hist_r = hist6[3:6]
         xi_dot_n = _dot3(hist, n_hat)
         xi = tuple(hist[k] - xi_dot_n * n_hat[k] for k in range(3))
         xi = tuple(
@@ -392,13 +398,48 @@ def _make_kernel(lmax: int):
             for k in range(3)
         )
 
+        # Rolling resistance (spring-dashpot-slider; twin of the jnp
+        # path in ops/contact.py — direction-symmetric pure torque).
+        roll_on = (k_roll > 0) | (g_roll > 0)
+        dom = tuple(omi[k] - omj[k] for k in range(3))
+        n_x_dom = _cross3(n_hat, dom)
+        v_roll = tuple(-r_eff * n_x_dom[k] for k in range(3))
+        xir_dot_n = _dot3(hist_r, n_hat)
+        xi_r = tuple(hist_r[k] - xir_dot_n * n_hat[k] for k in range(3))
+        xi_r = tuple(
+            jnp.where(in_contact & roll_on, xi_r[k] + v_roll[k] * dt, 0.0)
+            for k in range(3)
+        )
+        f_r = tuple(-(k_roll * xi_r[k] + g_roll * v_roll[k])
+                    for k in range(3))
+        fr_mag = jnp.sqrt(jnp.maximum(_dot3(f_r, f_r), 1e-30))
+        cap_r = mu_roll * fn_mag
+        over_r = fr_mag > jnp.maximum(cap_r, 1e-30)
+        scale_fr = jnp.where(over_r, cap_r / fr_mag, 1.0)
+        f_r = tuple(f_r[k] * scale_fr for k in range(3))
+        xi_r = tuple(
+            jnp.where(
+                over_r & (k_roll > 0),
+                -(f_r[k] + g_roll * v_roll[k])
+                / jnp.maximum(k_roll, 1e-30),
+                xi_r[k],
+            )
+            for k in range(3)
+        )
+        n_x_fr = _cross3(n_hat, f_r)
+        tau_roll = tuple(
+            jnp.where(in_contact, r_eff * n_x_fr[k], 0.0) for k in range(3)
+        )
+
         force = tuple(
             jnp.where(in_contact, fn_mag * n_hat[k] + f_t[k], 0.0)
             for k in range(3)
         )
-        torque = _cross3(arm_i, force)
+        tq_c = _cross3(arm_i, force)
+        torque = tuple(tq_c[k] + tau_roll[k] for k in range(3))
         neg_force = tuple(-force[k] for k in range(3))
-        torque_j = _cross3(arm_j, neg_force)
+        tq_cj = _cross3(arm_j, neg_force)
+        torque_j = tuple(tq_cj[k] - tau_roll[k] for k in range(3))
         pe = jnp.where(
             in_contact,
             0.4 * kn * jnp.sqrt(r_eff) * delta * delta * jnp.sqrt(delta),
@@ -406,9 +447,10 @@ def _make_kernel(lmax: int):
         )
 
         out = jnp.concatenate(
-            list(force) + list(torque) + list(torque_j) + list(xi)
+            list(force) + list(torque) + list(torque_j)
+            + list(xi) + list(xi_r)
             + [pe, in_contact.astype(pe.dtype)]
-            + [jnp.zeros_like(pe)] * (_NOUT - 14),
+            + [jnp.zeros_like(pe)] * (_NOUT - 17),
             axis=1,
         )
         out_ref[:, :] = out
@@ -569,7 +611,8 @@ def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
             pl.BlockSpec((block, NC), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NPAR), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((block, _NOUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -602,8 +645,10 @@ def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None):
     cj = shapes.coeffs[state.shtype[pj]] * state.scale[pj][:, None]
     cap = jnp.stack([shapes.cap_x, shapes.cap_glw, shapes.cap_cpsi,
                      shapes.cap_spsi], axis=0)
+    z = jnp.zeros_like(params.dt)
     par = jnp.stack([
         params.dt, params.kn, params.kt, params.gamma_n, params.gamma_t,
-        params.mu, jnp.zeros_like(params.dt), jnp.zeros_like(params.dt),
+        params.mu, params.k_roll, params.gamma_roll, params.mu_roll,
+        z, z, z, z, z, z, z,
     ])[None, :].astype(jnp.float32)
     return packed, ci, cj, cap, par

@@ -76,17 +76,37 @@ def apply_deformation(state, x_build, params):
     Diagonal strain-rate control for the triaxial shear cell (config 5,
     BASELINE.json:11): box edges and ALL positions (including the
     neighbor-build reference positions, so no spurious skin triggers)
-    are remapped by (1 + rate*dt) each step. A zero rate is an exact
-    no-op.
+    are remapped by (1 + rate*dt) each step. Off-diagonal ``shear_rate``
+    (d vx/dy, d vx/dz, d vy/dz) applies the matching affine velocity
+    gradient and grows the triclinic tilt (fix deform xy/xz/yz with
+    remap). Zero rates are an exact no-op.
     """
     factor = 1.0 + params.deform_rate * params.dt  # [3]
     center = 0.5 * (state.box_lo + state.box_hi)
+    x = center + (state.x - center) * factor
+    xb = center + (x_build - center) * factor
+    box_lo = center + (state.box_lo - center) * factor
+    box_hi = center + (state.box_hi - center) * factor
+
+    g = params.shear_rate * params.dt  # (d_xy, d_xz, d_yz) increments
+    L = box_hi - box_lo
+
+    def shear(p):
+        sx = p[..., 0] + g[0] * (p[..., 1] - center[1]) \
+            + g[1] * (p[..., 2] - center[2])
+        sy = p[..., 1] + g[2] * (p[..., 2] - center[2])
+        return jnp.stack([sx, sy, p[..., 2]], axis=-1)
+
+    x = shear(x)
+    xb = shear(xb)
+    # Tilt components are x-offsets (xy, xz) / a y-offset (yz): they
+    # scale with the matching diagonal factor, then grow with the shear.
+    tilt = state.tilt * jnp.stack([factor[0], factor[0], factor[1]])
+    tilt = tilt + g * jnp.stack([L[1], L[2], L[2]])
     state = state.replace(
-        x=center + (state.x - center) * factor,
-        box_lo=center + (state.box_lo - center) * factor,
-        box_hi=center + (state.box_hi - center) * factor,
+        x=x, box_lo=box_lo, box_hi=box_hi, tilt=tilt,
     )
-    return state, center + (x_build - center) * factor
+    return state, xb
 
 
 def berendsen_box_control(state, x_build, params, virial, shapes):
@@ -113,6 +133,7 @@ def berendsen_box_control(state, x_build, params, virial, shapes):
         x=center + (state.x - center) * mu,
         box_lo=center + (state.box_lo - center) * mu,
         box_hi=center + (state.box_hi - center) * mu,
+        tilt=state.tilt * jnp.stack([mu[0], mu[0], mu[1]]),
     )
     return state, center + (x_build - center) * mu
 

@@ -22,18 +22,19 @@ import jax
 import jax.numpy as jnp
 
 from spherharm_tpu.core.state import NeighborState
-from spherharm_tpu.ops.contact import minimum_image
+from spherharm_tpu.ops.contact import minimum_image, unshear_coords
 
 
 @partial(jax.jit, static_argnames=("k_max",))
 def allpairs_neighbors(x, active, box_lo, box_hi, cutoff, k_max: int,
-                       periodic=(False, False, False)):
+                       periodic=(False, False, False), tilt=None):
     """O(N^2) neighbor build — oracle + small-system path.
 
     Returns (idx [N,K], mask [N,K], count [N]).
     """
     N = x.shape[0]
-    d = minimum_image(x[None, :, :] - x[:, None, :], box_lo, box_hi, periodic)
+    d = minimum_image(x[None, :, :] - x[:, None, :], box_lo, box_hi,
+                      periodic, tilt)
     dist2 = jnp.sum(d * d, axis=-1)
     eye = jnp.eye(N, dtype=bool)
     valid = (dist2 < cutoff**2) & ~eye & active[None, :] & active[:, None]
@@ -86,7 +87,7 @@ def cell_list_neighbors(
     x, active, box_lo, box_hi, cutoff,
     grid_dims: tuple, cell_cap: int, k_max: int,
     periodic=(False, False, False),
-    bin_lo=None, bin_hi=None, owned=None,
+    bin_lo=None, bin_hi=None, owned=None, tilt=None,
 ):
     """Cell-binned neighbor build. Returns (idx, mask, count, cell_overflow).
 
@@ -115,7 +116,11 @@ def cell_list_neighbors(
     n_cells = int(grid_dims[0] * grid_dims[1] * grid_dims[2])
     cell_sz = (bin_hi - bin_lo) / jnp.asarray(grid_dims, x.dtype)
 
-    cc = jnp.floor((x - bin_lo) / cell_sz).astype(jnp.int32)
+    # Bin in the unsheared frame when the box is tilted: periodic images
+    # are exact orthogonal translations there, so the 27-stencil stays
+    # complete (the caller inflates the cutoff to cover the skew).
+    x_bin = x if tilt is None else unshear_coords(x, box_lo, box_hi, tilt)
+    cc = jnp.floor((x_bin - bin_lo) / cell_sz).astype(jnp.int32)
     cc = jnp.clip(cc, 0, D - 1)
     cid = (cc[:, 0] * D[1] + cc[:, 1]) * D[2] + cc[:, 2]
     cid = jnp.where(active, cid, n_cells)  # inactive -> overflow bin
@@ -166,7 +171,7 @@ def cell_list_neighbors(
     cand = cand.reshape(N, 27 * cell_cap)
 
     safe = jnp.maximum(cand, 0)
-    d = minimum_image(x[safe] - x[:, None, :], box_lo, box_hi, periodic)
+    d = minimum_image(x[safe] - x[:, None, :], box_lo, box_hi, periodic, tilt)
     dist2 = jnp.sum(d * d, axis=-1)
     valid = (
         (cand >= 0)
@@ -226,17 +231,42 @@ def remap_history(new_key, new_mask, old_key, old_mask, old_hist,
     return body((new_key, new_mask, old_key, old_mask, old_hist, row_ok))
 
 
-def wrap_positions(x, image, box_lo, box_hi, periodic):
-    """Wrap x into the box for periodic dims, tracking image counters."""
+def wrap_positions(x, image, box_lo, box_hi, periodic, tilt=None):
+    """Wrap x into the box for periodic dims, tracking image counters.
+
+    With triclinic ``tilt``, wrapping runs in lamda (fractional lattice)
+    space: n = floor(H^-1 (x - lo)) per periodic dim, x -= H n. Whole
+    lattice vectors only, so re-adding ``image @ H^T`` recovers the
+    original position, and the wrapped fractional coordinate lies in
+    [0, 1) — the property cell binning relies on.
+    """
     L = box_hi - box_lo
-    shifts = jnp.floor((x - box_lo) / L)
     pmask = jnp.asarray(periodic, dtype=x.dtype)
-    shifts = shifts * pmask
-    return x - shifts * L, image + shifts.astype(jnp.int32)
+    if tilt is None:
+        shifts = jnp.floor((x - box_lo) / L) * pmask
+        return x - shifts * L, image + shifts.astype(jnp.int32)
+    xy, xz, yz = tilt[0], tilt[1], tilt[2]
+    px, py, pz = x[..., 0], x[..., 1], x[..., 2]
+    # Unbounded fractional coords by back-substitution through the
+    # upper-triangular H = [a|b|c] (original coordinates throughout —
+    # wrapping happens once, at the end, by whole lattice vectors).
+    f3 = (pz - box_lo[2]) / L[2]
+    f2 = (py - box_lo[1] - yz * f3) / L[1]
+    f1 = (px - box_lo[0] - xy * f2 - xz * f3) / L[0]
+    n3 = jnp.floor(f3) * pmask[2]
+    n2 = jnp.floor(f2) * pmask[1]
+    n1 = jnp.floor(f1) * pmask[0]
+    px = px - n1 * L[0] - n2 * xy - n3 * xz
+    py = py - n2 * L[1] - n3 * yz
+    pz = pz - n3 * L[2]
+    shifts = jnp.stack([n1, n2, n3], axis=-1)
+    return (jnp.stack([px, py, pz], axis=-1),
+            image + shifts.astype(jnp.int32))
 
 
-def max_displacement2(x, x_build, active, box_lo, box_hi, periodic):
+def max_displacement2(x, x_build, active, box_lo, box_hi, periodic,
+                      tilt=None):
     """Max squared displacement since the last build (skin trigger)."""
-    d = minimum_image(x - x_build, box_lo, box_hi, periodic)
+    d = minimum_image(x - x_build, box_lo, box_hi, periodic, tilt)
     d2 = jnp.sum(d * d, axis=-1)
     return jnp.max(jnp.where(active, d2, 0.0))

@@ -50,6 +50,9 @@ class PlaneWall:
     def surface_velocity(self, c):
         return jnp.broadcast_to(self.velocity, c.shape)
 
+    def angular_velocity(self):
+        return jnp.zeros((3,), self.point.dtype)
+
 
 @struct.dataclass
 class CylinderWall:
@@ -89,6 +92,9 @@ class CylinderWall:
         return self.omega * jnp.cross(
             jnp.broadcast_to(self.axis_dir, rel.shape), rel
         )
+
+    def angular_velocity(self):
+        return self.omega * self.axis_dir
 
 
 def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
@@ -130,7 +136,7 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
         force = z3.at[sel].add(jnp.where(sel_ok[:, None], fw, 0.0))
         torque = z3.at[sel].add(jnp.where(sel_ok[:, None], tw, 0.0))
         new_hist = (
-            jnp.zeros((state.cap, 3), state.x.dtype)
+            jnp.zeros((state.cap, hist.shape[-1]), state.x.dtype)
             .at[sel]
             .set(jnp.where(sel_ok[:, None], hw, 0.0))
         )
@@ -223,7 +229,8 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
     )
     f_n = fn_mag[..., None] * n_hat
 
-    xi = hist - jnp.sum(hist * n_hat, axis=-1, keepdims=True) * n_hat
+    xi = hist[:, 0:3]
+    xi = xi - jnp.sum(xi * n_hat, axis=-1, keepdims=True) * n_hat
     xi = jnp.where(in_contact[:, None], xi + vt * params.dt, 0.0)
     f_t = -poly[:, None] * (params.kt * xi + m_eff[:, None] * params.gamma_t * vt)
     ft_mag = jnp.linalg.norm(f_t, axis=-1)
@@ -237,7 +244,35 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
         xi,
     )
 
+    # Rolling resistance against the wall (wall angular velocity enters
+    # the relative spin: a spinning drum rolls its bed up the side).
+    roll_on = (params.k_roll > 0) | (params.gamma_roll > 0)
+    dom = om - wall.angular_velocity()[None, :]
+    v_roll = -r_eff[:, None] * jnp.cross(n_hat, dom)
+    xi_r = hist[:, 3:6]
+    xi_r = xi_r - jnp.sum(xi_r * n_hat, axis=-1, keepdims=True) * n_hat
+    xi_r = jnp.where(
+        (in_contact & roll_on)[:, None], xi_r + v_roll * params.dt, 0.0
+    )
+    f_r = -(params.k_roll * xi_r + params.gamma_roll * v_roll)
+    fr_mag = jnp.linalg.norm(f_r, axis=-1)
+    cap_r = params.mu_roll * fn_mag
+    over_r = fr_mag > jnp.maximum(cap_r, 1e-30)
+    f_r = f_r * jnp.where(
+        over_r, cap_r / jnp.maximum(fr_mag, 1e-30), 1.0
+    )[:, None]
+    xi_r = jnp.where(
+        (over_r & (params.k_roll > 0))[:, None],
+        -(f_r + params.gamma_roll * v_roll)
+        / jnp.maximum(params.k_roll, 1e-30),
+        xi_r,
+    )
+    tau_roll = jnp.where(
+        in_contact[:, None], r_eff[:, None] * jnp.cross(n_hat, f_r), 0.0
+    )
+
     force = jnp.where(in_contact[:, None], f_n + f_t, 0.0)
-    torque = jnp.cross(centroid, force)
+    torque = jnp.cross(centroid, force) + tau_roll
     pe = jnp.where(in_contact, 0.4 * params.kn * jnp.sqrt(r_eff) * delta**2.5, 0.0)
-    return force, torque, xi, pe, jnp.sum(near.astype(jnp.int32))
+    new_hist = jnp.concatenate([xi, xi_r], axis=-1)
+    return force, torque, new_hist, pe, jnp.sum(near.astype(jnp.int32))

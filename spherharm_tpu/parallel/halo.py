@@ -122,6 +122,8 @@ class ShardedSimulation:
         rebuild_every: int = 0,
         wall_capacity: int = 0,
         stage2_capacity: int = 0,
+        triclinic: bool = False,
+        tilt_pad: float = 0.0,
     ):
         self.shapes = shapes
         self.params = params
@@ -143,12 +145,20 @@ class ShardedSimulation:
         self.rebuild_every = int(rebuild_every)
         self.wall_capacity = int(wall_capacity)
         self.stage2_capacity = int(stage2_capacity)
+        # Triclinic slab decomposition: a y/z-crossing image shifts x by
+        # the tilt, so raw-x halo membership must reach tilt_pad further
+        # (set tilt_pad >= max |xy| + |xz| the run will see).
+        self.triclinic = bool(triclinic)
+        self.tilt_pad = float(tilt_pad)
+        if triclinic and tilt_pad <= 0.0:
+            raise ValueError("triclinic sharding needs tilt_pad >= max "
+                             "|xy|+|xz| expected during the run")
 
         self.box_lo_np = np.asarray(box_lo, np.float64)
         self.box_hi_np = np.asarray(box_hi, np.float64)
         self.slab_w = (self.box_hi_np[0] - self.box_lo_np[0]) / self.n_shards
         cutoff_total = float(params.cutoff + params.skin)
-        self.halo_depth = cutoff_total
+        self.halo_depth = cutoff_total + self.tilt_pad
         if self.slab_w < self.halo_depth:
             raise ValueError(
                 f"slab width {self.slab_w:.3g} < cutoff+skin "
@@ -234,7 +244,7 @@ class ShardedSimulation:
             scale=cat("scale").astype(dtype), shtype=cat("shtype"),
             tag=cat("tag"), active=cat("active"), image=cat("image"),
             box_lo=state_global.box_lo, box_hi=state_global.box_hi,
-            step=state_global.step,
+            tilt=state_global.tilt, step=state_global.step,
         )
         neigh = empty_neighbors(
             P_ * self.cap_ext, self.k_max, len(self.walls), dtype=dtype,
@@ -447,11 +457,15 @@ class ShardedSimulation:
             jnp.zeros((2 * self.halo_cap,), bool),
         ])
 
+    def _tilt(self, state: State):
+        return state.tilt if self.triclinic else None
+
     def _rebuild(self, state: State, neigh: NeighborState, ghosts: GhostPack):
         """exchange() + borders() + neighbor build + history remap."""
         idx = jax.lax.axis_index("x")
         x, image = neighbor.wrap_positions(
-            state.x, state.image, state.box_lo, state.box_hi, self.periodic
+            state.x, state.image, state.box_lo, state.box_hi, self.periodic,
+            tilt=self._tilt(state),
         )
         state = state.replace(x=x, image=image)
         # Fold live pair-space springs back into the tag-keyed [N, K]
@@ -495,6 +509,7 @@ class ShardedSimulation:
             ext.x, ext.active, state.box_lo, state.box_hi, cutoff,
             self.grid_dims, self.cell_cap, self.k_max, self.periodic_eff,
             bin_lo=bin_lo, bin_hi=bin_hi, owned=owned & ext.active,
+            tilt=self._tilt(state),
         )
         neigh_tag = jnp.where(nmask, ext.tag[nidx], 0)
         row_ok = neigh.row_tag == ext.tag
@@ -504,6 +519,7 @@ class ShardedSimulation:
         pair_fields, n_pairs = contact.build_pair_list(
             ext, self.shapes, self.params, nidx, nmask, hist,
             owned & ext.active, self.pair_capacity, self.periodic_eff,
+            tilt=self._tilt(state),
         )
         overflow = jnp.maximum(
             jnp.maximum(jnp.max(count), cell_ovf),
@@ -537,6 +553,7 @@ class ShardedSimulation:
                 periodic=self.periodic_eff, chunk=self.pair_chunk,
                 use_pallas=self.use_pallas,
                 stage2_cap=self.stage2_capacity,
+                tilt=self._tilt(state),
             )
         )
         neigh = neigh.replace(
@@ -597,6 +614,7 @@ class ShardedSimulation:
             disp2 = neighbor.max_displacement2(
                 state.x, neigh.x_build[: self.cap_local], state.active,
                 state.box_lo, state.box_hi, self.periodic,
+                tilt=self._tilt(state),
             )
             disp2 = jax.lax.pmax(disp2, "x")
             need = disp2 > (0.5 * self.params.skin) ** 2
@@ -610,6 +628,7 @@ class ShardedSimulation:
             disp2 = neighbor.max_displacement2(
                 state.x, neigh.x_build[: self.cap_local], state.active,
                 state.box_lo, state.box_hi, self.periodic,
+                tilt=self._tilt(state),
             )
             disp2 = jax.lax.pmax(disp2, "x")
             viol = (disp2 > (0.5 * self.params.skin) ** 2).astype(jnp.int32)

@@ -25,6 +25,7 @@ def _random_pairs(seed=0, lmax=4, n=24, contact_quad=(8, 16)):
     shapes = shapes_library.build_shapes(coeffs, lmax,
                                          contact_quad=contact_quad)
     params = SimParams.create(dt=1e-4, kn=1e5, gamma_n=20.0, mu=0.4,
+                              k_roll=2e4, gamma_roll=10.0, mu_roll=0.2,
                               cutoff=1.4, skin=0.2)
     x = rng.uniform(0.7, 3.3, (n, 3))
     q = rng.normal(size=(n, 4))
@@ -41,7 +42,7 @@ def _random_pairs(seed=0, lmax=4, n=24, contact_quad=(8, 16)):
     pi = jnp.asarray(pi.ravel()[sel], jnp.int32)
     pj = jnp.asarray(pj.ravel()[sel], jnp.int32)
     mask = jnp.ones(pi.shape, bool)
-    hist = jnp.asarray(rng.normal(size=(pi.shape[0], 3)) * 1e-4, jnp.float32)
+    hist = jnp.asarray(rng.normal(size=(pi.shape[0], 6)) * 1e-4, jnp.float32)
     return shapes, params, state, pi, pj, mask, hist
 
 
@@ -71,9 +72,9 @@ def test_pallas_kernel_matches_reference():
     f = np.asarray(out[:, 0:3])
     tau = np.asarray(out[:, 3:6])
     tau_j = np.asarray(out[:, 6:9])
-    hist_new = np.asarray(out[:, 9:12])
-    pe = np.asarray(out[:, 12])
-    inc = np.asarray(out[:, 13]) > 0.5
+    hist_new = np.asarray(out[:, 9:15])
+    pe = np.asarray(out[:, 15])
+    inc = np.asarray(out[:, 16]) > 0.5
 
     fmag = max(float(jnp.abs(f_ref).max()), 1e-6)
     np.testing.assert_array_equal(inc, np.asarray(inc_ref))

@@ -1,0 +1,133 @@
+"""Triclinic (tilted) periodic cells: minimum image, wrap, shear deform.
+
+The reference's ``Domain`` supports triclinic boxes and ``fix deform``
+grows the xy/xz/yz tilts for sheared periodic cells (SURVEY.md 2 B.7 /
+B.5); config 5 is a "triaxial SHEAR cell" (BASELINE.json:11). These
+tests pin the tilted-image machinery against interior-pair oracles.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spherharm_tpu.core.simulation import Simulation
+from spherharm_tpu.core.state import SimParams
+from spherharm_tpu.models import scenarios, shapes_library
+from spherharm_tpu.ops.contact import minimum_image
+from spherharm_tpu.ops.neighbor import CellGrid, wrap_positions
+
+
+def test_tilted_minimum_image_matches_lattice():
+    """min-image of (d + n1*a + n2*b + n3*c) recovers d for small d."""
+    rng = np.random.default_rng(0)
+    lo = jnp.zeros(3)
+    hi = jnp.asarray([8.0, 10.0, 12.0])
+    tilt = jnp.asarray([2.0, -1.5, 3.0])  # (xy, xz, yz), all < L/2
+    a = jnp.asarray([8.0, 0.0, 0.0])
+    b = jnp.asarray([2.0, 10.0, 0.0])
+    c = jnp.asarray([-1.5, 3.0, 12.0])
+    d = jnp.asarray(rng.uniform(-1.5, 1.5, (64, 3)), jnp.float32)
+    n = jnp.asarray(rng.integers(-1, 2, (64, 3)), jnp.float32)
+    shifted = d + n[:, 0:1] * a + n[:, 1:2] * b + n[:, 2:3] * c
+    rec = minimum_image(shifted, lo, hi, (True, True, True), tilt)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(d), atol=1e-5)
+
+
+def test_tilted_wrap_consistent_with_minimum_image():
+    """wrap subtracts whole lattice vectors; re-adding the recorded
+    images recovers the original position exactly."""
+    rng = np.random.default_rng(1)
+    lo = jnp.zeros(3)
+    hi = jnp.asarray([8.0, 10.0, 12.0])
+    tilt = jnp.asarray([2.0, -1.5, 3.0])
+    H = np.array([[8.0, 2.0, -1.5], [0.0, 10.0, 3.0], [0.0, 0.0, 12.0]])
+    x = jnp.asarray(rng.uniform(-15.0, 25.0, (64, 3)), jnp.float32)
+    img0 = jnp.zeros((64, 3), jnp.int32)
+    xw, img = wrap_positions(x, img0, lo, hi, (True, True, True), tilt)
+    # wrapped x coordinate is inside the (skewed) cell: fractional in [0,1)
+    frac = np.linalg.solve(H, (np.asarray(xw) - np.asarray(lo)).T).T
+    assert frac.min() > -1e-5 and frac.max() < 1 + 1e-5
+    rebuilt = np.asarray(xw) + np.asarray(img) @ H.T
+    np.testing.assert_allclose(rebuilt, np.asarray(x), atol=1e-4)
+
+
+def test_seam_contact_equals_interior_contact():
+    """A contacting pair straddling the tilted y-seam must produce the
+    same forces as the identical pair placed in the interior (the tilt
+    shifts the image by (xy, Ly, 0))."""
+    lmax = 2
+    shapes = shapes_library.build_shapes(
+        [shapes_library.ellipsoid_coeffs(0.55, 0.45, 0.4, lmax)],
+        lmax, contact_quad=(8, 16),
+    )
+    box = 10.0
+    tilt = [2.5, 0.0, 0.0]
+    params = SimParams.create(dt=1e-4, kn=1e4, gamma_n=5.0, mu=0.3,
+                              cutoff=1.3, skin=0.3)
+    d_rel = np.array([0.55, 0.55, 0.15])  # overlapping separation
+    qa = [1.0, 0.0, 0.0, 0.0]
+    qb_ = np.array([0.9, 0.1, 0.3, 0.2])
+    qb = list(qb_ / np.linalg.norm(qb_))
+
+    def forces(xa, xb):
+        state = scenarios.make_state(
+            [xa, xb], [0, 0, 0], [box] * 3, q=[qa, qb], tilt=tilt,
+            v=[[0.1, -0.05, 0.0], [-0.1, 0.0, 0.05]],
+        )
+        grid = CellGrid([0, 0, 0], [box] * 3, 2.2)
+        sim = Simulation(
+            shapes, params, periodic=(True, True, True),
+            neighbor_mode="cell", grid=grid, k_max=4, cell_cap=6,
+            pair_capacity=8, triclinic=True,
+        )
+        st, ng = sim.init_neighbors(state)
+        st, ng, _ = sim.compute_forces(st, ng)
+        return np.asarray(st.f), np.asarray(st.tau)
+
+    # Interior pair.
+    xa = np.array([5.0, 5.0, 5.0])
+    f_in, tau_in = forces(xa, xa + d_rel)
+    assert np.abs(f_in).max() > 0, "pair should be in contact"
+    # Across the y-seam: B's in-box representative sits one b-lattice
+    # vector (xy, Ly, 0) below its physical position next to A, so the
+    # minimum image must add b back (including the x += xy tilt shift).
+    xa2 = np.array([5.0, box - 0.2, 5.0])
+    xb2 = xa2 + d_rel - np.array([tilt[0], box, 0.0])
+    assert 0 <= xb2[1] < box  # genuinely wrapped
+    f_seam, tau_seam = forces(xa2, xb2)
+    np.testing.assert_allclose(f_seam, f_in, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(tau_seam, tau_in, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sheared_cell_sharded_matches_single():
+    """Config-5 shear: nonzero xy tilt growing under shear_rate, sharded
+    over 2 slabs == single device (VERDICT round-1 item 10)."""
+    import jax
+    from jax.sharding import Mesh
+
+    kw = dict(n=96, lmax=2, fill_fraction=0.28, strain_rate=(0, 0, 0),
+              shear_rate=(0.05, 0.0, 0.0), deform_min=1.0)
+    sim1, s1, n1 = scenarios.triaxial_cell(**kw)
+    s1, n1 = sim1.run(s1, n1, 300)
+    t1 = sim1.thermo(s1, n1)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+    sim2, s2, n2, g2 = scenarios.triaxial_cell(sharded=True, mesh=mesh, **kw)
+    s2, n2, g2 = sim2.run(s2, n2, g2, 300)
+    t2 = sim2.thermo(s2, n2, g2)
+
+    assert float(s1.tilt[0]) > 0  # tilt actually grew
+    np.testing.assert_allclose(np.asarray(s2.tilt), np.asarray(s1.tilt),
+                               rtol=1e-6)
+    tags = np.asarray(s2.tag)
+    act = np.asarray(s2.active)
+    x2 = {int(t): np.asarray(s2.x)[i] for i, t in enumerate(tags) if act[i]}
+    v2 = {int(t): np.asarray(s2.v)[i] for i, t in enumerate(tags) if act[i]}
+    assert sorted(x2.keys()) == list(range(1, 97))
+    for i in range(96):
+        np.testing.assert_allclose(x2[i + 1], np.asarray(s1.x)[i],
+                                   atol=2e-3, err_msg=f"x tag {i+1}")
+        np.testing.assert_allclose(v2[i + 1], np.asarray(s1.v)[i],
+                                   atol=5e-3, err_msg=f"v tag {i+1}")
+    assert float(t2["etot"]) == pytest.approx(float(t1["etot"]), rel=1e-3)

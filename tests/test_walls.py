@@ -94,6 +94,81 @@ def test_cylinder_wall_confines():
     assert e < 0.25 * e0               # most energy dissipated (meas. ~4)
 
 
+def test_rolling_resistance_decelerates_rolling_sphere():
+    """A sphere rolling without slip on a plane coasts forever under
+    pure sliding friction (zero contact-point slip); with the
+    spring-dashpot-slider rolling model it must decelerate."""
+    R, v0 = 0.5, 1.0
+    lmax = 0
+    shapes = shapes_library.build_shapes(
+        [shapes_library.sphere_coeffs(R, lmax)], lmax, contact_quad=(10, 20)
+    )
+
+    def run(k_roll, gamma_roll, mu_roll):
+        params = SimParams.create(
+            dt=1e-4, kn=1e5, gamma_n=300.0, mu=0.5,
+            k_roll=k_roll, gamma_roll=gamma_roll, mu_roll=mu_roll,
+            gravity=(0.0, 0.0, -10.0), cutoff=2 * R, skin=0.2 * R,
+        )
+        # Start resting on the plane, rolling without slip: v = omega x R.
+        m = float(shapes.mass_of(jnp.zeros(1, jnp.int32), jnp.ones(1))[0])
+        inertia = float(shapes.inertia_of(
+            jnp.zeros(1, jnp.int32), jnp.ones(1))[0, 0])
+        omega_y = v0 / R  # zero contact-point slip: v_cp = v - omega_y R
+        state = scenarios.make_state(
+            [[0.0, 0.0, R * 0.999]], [-50, -2, 0], [50, 2, 4],
+            v=[[v0, 0.0, 0.0]],
+            angmom=[[0.0, inertia * omega_y, 0.0]],
+        )
+        walls = (PlaneWall.create((0, 0, 0), (0, 0, 1)),)
+        sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+                         walls=walls)
+        state, neigh = sim.init_neighbors(state)
+        state, neigh = sim.run(state, neigh, 20000)
+        return float(state.v[0, 0])
+
+    vx_off = run(0.0, 0.0, 0.0)
+    vx_on = run(2e4, 20.0, 0.3)
+    assert vx_off > 0.9 * v0          # pure sliding friction: coasts
+    assert vx_on < 0.5 * vx_off       # rolling resistance: decelerates
+
+
+@pytest.mark.slow
+def test_cylinder_settles_with_rolling_resistance():
+    """With the rolling model on, the sphere in the cylinder shell damps
+    to near-rest at the bottom — the behavior the plain-friction variant
+    above physically cannot reach (energy plateaus at ~4)."""
+    lmax = 0
+    R_p, R_c = 0.3, 2.0
+    shapes = shapes_library.build_shapes(
+        [shapes_library.sphere_coeffs(R_p, lmax)], lmax, contact_quad=(10, 20)
+    )
+    params = SimParams.create(
+        dt=1e-4, kn=1e5, gamma_n=300.0, mu=0.3,
+        k_roll=2e4, gamma_roll=20.0, mu_roll=0.3,
+        gravity=(0.0, 0.0, -10.0), cutoff=2 * R_p, skin=0.1 * R_p,
+    )
+    state = scenarios.make_state(
+        [[0.5, 0.0, 0.5]], [-3, -3, -3], [3, 3, 3],
+        v=[[1.5, 0.0, 0.0]],
+    )
+    walls = (CylinderWall.create((0, 0, 0), (0, 1, 0), R_c, omega=0.0),)
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+                     walls=walls)
+    state, neigh = sim.init_neighbors(state)
+    z_bot = -(R_c - R_p)
+    for _ in range(8):
+        state, neigh = sim.run(state, neigh, 20000)
+        v = float(jnp.linalg.norm(state.v[0]))
+        z = float(state.x[0, 2])
+        e = 0.5 * v * v + 10.0 * (z - z_bot)
+        if e < 0.02:
+            break
+    x = np.asarray(state.x[0])
+    assert e < 0.02                       # truly settled
+    assert x[2] == pytest.approx(z_bot, abs=0.2 * R_p)
+
+
 def test_rotating_drum_drags_particle():
     """Friction from a spinning drum wall should torque a resting sphere."""
     lmax = 0
