@@ -29,11 +29,15 @@ _PARAM_FIELDS = _fields(SimParams)
 
 def write_restart(path, state: State, neigh: NeighborState,
                   params: SimParams, extra: dict | None = None):
-    """Serialize (state, neighbors+history, params) to one .npz file."""
+    """Serialize (state, neighbors+history, params) to one .npz file.
+
+    ``neigh=None`` writes a state-only checkpoint (the sharded
+    gather_restart flow carries its tag-keyed history via ``extra``).
+    """
     blob = {}
     for f in _STATE_FIELDS:
         blob[f"state.{f}"] = np.asarray(getattr(state, f))
-    for f in _NEIGH_FIELDS:
+    for f in _NEIGH_FIELDS if neigh is not None else ():
         blob[f"neigh.{f}"] = np.asarray(getattr(neigh, f))
     for f in _PARAM_FIELDS:
         blob[f"params.{f}"] = np.asarray(getattr(params, f))
@@ -44,11 +48,18 @@ def write_restart(path, state: State, neigh: NeighborState,
 
 def read_restart(path):
     """Load (state, neigh, params, extra) back as device pytrees."""
+    import os
+
+    # np.savez appends ".npz" when missing; accept the bare name too.
+    if not os.path.exists(path) and os.path.exists(f"{path}.npz"):
+        path = f"{path}.npz"
     z = np.load(path)
     state = State(**{f: jnp.asarray(z[f"state.{f}"]) for f in _STATE_FIELDS})
-    neigh = NeighborState(
-        **{f: jnp.asarray(z[f"neigh.{f}"]) for f in _NEIGH_FIELDS}
-    )
+    neigh = None
+    if f"neigh.{_NEIGH_FIELDS[0]}" in z.files:
+        neigh = NeighborState(
+            **{f: jnp.asarray(z[f"neigh.{f}"]) for f in _NEIGH_FIELDS}
+        )
     params = SimParams(
         **{f: jnp.asarray(z[f"params.{f}"]) for f in _PARAM_FIELDS}
     )

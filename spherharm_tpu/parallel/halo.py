@@ -204,8 +204,15 @@ class ShardedSimulation:
 
     # -- distribution (host-side) ------------------------------------------
 
-    def distribute(self, state_global: State):
-        """Partition a single-box State into sharded per-slab slots."""
+    def distribute(self, state_global: State, restart: dict | None = None):
+        """Partition a single-box State into sharded per-slab slots.
+
+        ``restart`` (from :meth:`gather_restart`) carries tag-keyed
+        contact history aligned with ``state_global``'s rows:
+        ``hist_tags`` [n, K], ``hist`` [n, K, HW], ``wall_hist``
+        [n, W, HW]. It seeds the neighbor state's durable (rebuild-time)
+        layout so the first rebuild's remap recovers every spring.
+        """
         P_ = self.n_shards
         x = np.asarray(state_global.x)
         active = np.asarray(state_global.active)
@@ -213,12 +220,14 @@ class ShardedSimulation:
             ((x[:, 0] - self.box_lo_np[0]) // self.slab_w).astype(int), 0, P_ - 1
         )
         locals_ = []
+        sels = []
         for p in range(P_):
             sel = np.flatnonzero(active & (slab == p))
             if sel.size > self.cap_local:
                 raise ValueError(
                     f"slab {p} holds {sel.size} > cap_local={self.cap_local}"
                 )
+            sels.append(sel)
             pad = self.cap_local - sel.size
             rows = {}
             for f in COMM_FIELDS + ("active",):
@@ -250,6 +259,32 @@ class ShardedSimulation:
             P_ * self.cap_ext, self.k_max, len(self.walls), dtype=dtype,
             pair_cap=P_ * self.pair_capacity,
         )
+        if restart is not None:
+            # Seed the durable tag-keyed layout in the EXT row space
+            # (owned rows lead each shard block); _init_jit skips the
+            # pair->dense fold so this survives to the remap.
+            ce, K = self.cap_ext, self.k_max
+            hw = neigh.hist.shape[-1]
+            W = neigh.wall_hist.shape[1]
+            nt = np.zeros((P_ * ce, K), np.int32)
+            nh = np.zeros((P_ * ce, K, hw), np.float32)
+            wh = np.zeros((P_ * ce, W, hw), np.float32)
+            rt = np.zeros((P_ * ce,), np.int32)
+            tags_g = np.asarray(state_global.tag)
+            for p, sel in enumerate(sels):
+                rows = slice(p * ce, p * ce + sel.size)
+                nt[rows] = np.asarray(restart["hist_tags"])[sel]
+                nh[rows] = np.asarray(restart["hist"])[sel]
+                if W:
+                    wh[rows] = np.asarray(restart["wall_hist"])[sel]
+                rt[rows] = tags_g[sel]
+            neigh = neigh.replace(
+                neigh_tag=jnp.asarray(nt),
+                hist=jnp.asarray(nh, neigh.hist.dtype),
+                wall_hist=jnp.asarray(wh, neigh.wall_hist.dtype),
+                row_tag=jnp.asarray(rt),
+                mask=jnp.asarray(nt > 0),
+            )
         # wall_hist rows only needed for owned slots; keep cap_ext for shape
         # uniformity with the neighbor rows.
         ghosts = jax.tree.map(
@@ -460,8 +495,14 @@ class ShardedSimulation:
     def _tilt(self, state: State):
         return state.tilt if self.triclinic else None
 
-    def _rebuild(self, state: State, neigh: NeighborState, ghosts: GhostPack):
-        """exchange() + borders() + neighbor build + history remap."""
+    def _rebuild(self, state: State, neigh: NeighborState, ghosts: GhostPack,
+                 fold: bool = True):
+        """exchange() + borders() + neighbor build + history remap.
+
+        ``fold=False`` (init/restore only): the durable [N, K] hist is
+        already authoritative (zeros on a fresh start, seeded springs on
+        a restart) and the pair list is empty, so folding would wipe it.
+        """
         idx = jax.lax.axis_index("x")
         x, image = neighbor.wrap_positions(
             state.x, state.image, state.box_lo, state.box_hi, self.periodic,
@@ -470,7 +511,8 @@ class ShardedSimulation:
         state = state.replace(x=x, image=image)
         # Fold live pair-space springs back into the tag-keyed [N, K]
         # layout FIRST: migration ships [N, K] rows, and remap reads them.
-        neigh = neigh.replace(hist=contact.pair_hist_to_dense(neigh))
+        if fold:
+            neigh = neigh.replace(hist=contact.pair_hist_to_dense(neigh))
         state, neigh, mig_ovf = self._migrate(state, neigh)
 
         send_idx, send_mask, halo_ovf = self._halo_membership(state)
@@ -644,10 +686,48 @@ class ShardedSimulation:
 
     # -- public jitted entry points -----------------------------------------
 
-    def init(self, state_global: State):
-        """Distribute + first rebuild (Verlet::setup analogue)."""
-        state, neigh, ghosts = self.distribute(state_global)
+    def init(self, state_global: State, restart: dict | None = None):
+        """Distribute + first rebuild (Verlet::setup analogue).
+
+        Pass ``restart`` (from :meth:`gather_restart`) to resume a run
+        with contact history intact across an arbitrary re-sharding.
+        """
+        state, neigh, ghosts = self.distribute(state_global, restart=restart)
         return _init_jit(self, state, neigh, ghosts)
+
+    def gather_restart(self, state, neigh):
+        """Host-side restart payload: dense global State + tag-keyed
+        contact history (live pair springs folded in). The returned
+        dict's arrays align row-for-row with the returned State and
+        round-trip through io.restart's extra fields."""
+        neigh = _fold_hist_jit(self, neigh)
+        st = jax.device_get(state)
+        ng = jax.device_get(neigh)
+        cl, ce = self.cap_local, self.cap_ext
+        act = np.asarray(st.active)
+        sel = np.flatnonzero(act)                 # into [P*cap_local]
+        blk = sel // cl
+        nrow = blk * ce + (sel - blk * cl)        # matching ext rows
+        dtype = st.x.dtype
+
+        def take(f):
+            return jnp.asarray(np.asarray(getattr(st, f))[sel])
+
+        n = sel.size
+        gstate = State(
+            x=take("x"), v=take("v"), q=take("q"), angmom=take("angmom"),
+            f=jnp.zeros((n, 3), dtype), tau=jnp.zeros((n, 3), dtype),
+            scale=take("scale"), shtype=take("shtype"), tag=take("tag"),
+            active=jnp.ones((n,), bool), image=take("image"),
+            box_lo=jnp.asarray(st.box_lo), box_hi=jnp.asarray(st.box_hi),
+            tilt=jnp.asarray(st.tilt), step=jnp.asarray(st.step),
+        )
+        payload = {
+            "hist_tags": np.asarray(ng.neigh_tag)[nrow],
+            "hist": np.asarray(ng.hist)[nrow],
+            "wall_hist": np.asarray(ng.wall_hist)[nrow],
+        }
+        return gstate, payload
 
     def run(self, state, neigh, ghosts, n_steps: int):
         return _run_jit(self, state, neigh, ghosts, n_steps)
@@ -667,9 +747,26 @@ class ShardedSimulation:
 
 
 @partial(jax.jit, static_argnames=("sim",))
+def _fold_hist_jit(sim: ShardedSimulation, neigh):
+    """Fold live pair-space springs into the durable [N, K] layout."""
+    def body(neigh):
+        return neigh.replace(hist=contact.pair_hist_to_dense(neigh))
+
+    return jax.shard_map(
+        body, mesh=sim.mesh,
+        in_specs=sim._specs((neigh,)),
+        out_specs=sim._specs((neigh,))[0],
+        check_vma=False,
+    )(neigh)
+
+
+@partial(jax.jit, static_argnames=("sim",))
 def _init_jit(sim: ShardedSimulation, state, neigh, ghosts):
     def body(state, neigh, ghosts):
-        state, neigh, ghosts = sim._rebuild(state, neigh, ghosts)
+        # fold=False: at init the durable hist (zeros, or restart seed)
+        # is authoritative and the pair list is still empty.
+        state, neigh, ghosts = sim._rebuild(state, neigh, ghosts,
+                                            fold=False)
         state, neigh, _ = sim._forces(state, neigh, ghosts)
         return state, neigh, ghosts
 

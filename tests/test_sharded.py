@@ -252,3 +252,116 @@ def test_seam_crossing_pairs_match_single_device():
                     "(dropped at migration?)"
                 )
     assert int(ng8.overflow) < 128
+
+
+def test_sharded_pallas_matches_jnp_path():
+    """ShardedSimulation with use_pallas=True (interpret mode on CPU)
+    must track the jnp pair path (VERDICT r1 weak-4: the combination
+    had zero coverage)."""
+    n_dev = 2
+    shapes, params, state0, box = _setup(n=48, lmax=2, seed=4)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    kw = dict(
+        shapes=shapes, params=params, mesh=mesh,
+        box_lo=(0, 0, 0), box_hi=(box, box, box),
+        cap_local=64, halo_cap=48, migrate_cap=24,
+        periodic=(True, True, True), k_max=16, cell_cap=12,
+        pair_capacity=512,
+    )
+    sim_j = ShardedSimulation(use_pallas=False, **kw)
+    sj, nj, gj = sim_j.init(state0)
+    sj, nj, gj = sim_j.run(sj, nj, gj, 60)
+
+    sim_p = ShardedSimulation(use_pallas=True, **kw)
+    sp, np_, gp = sim_p.init(state0)
+    sp, np_, gp = sim_p.run(sp, np_, gp, 60)
+
+    def by_tag(state, field):
+        tags = np.asarray(state.tag)
+        act = np.asarray(state.active)
+        arr = np.asarray(getattr(state, field))
+        return {int(t): arr[i] for i, t in enumerate(tags) if act[i]}
+
+    xa, xb = by_tag(sj, "x"), by_tag(sp, "x")
+    va, vb = by_tag(sj, "v"), by_tag(sp, "v")
+    assert set(xa) == set(xb)
+    for t in xa:
+        np.testing.assert_allclose(xb[t], xa[t], atol=5e-4,
+                                   err_msg=f"x tag {t}")
+        np.testing.assert_allclose(vb[t], va[t], atol=2e-3,
+                                   err_msg=f"v tag {t}")
+
+
+def test_sharded_restart_roundtrip(tmp_path):
+    """gather_restart -> write_restart -> read -> re-init on a DIFFERENT
+    mesh width -> run; must match the uninterrupted sharded run per tag
+    (VERDICT r1 weak-5). Mid-contact springs must survive the gather/
+    redistribute, so the scenario keeps dense persistent contacts."""
+    from spherharm_tpu.io import restart as rio
+    from spherharm_tpu.ops.walls import PlaneWall
+
+    lmax = 2
+    rng = np.random.default_rng(6)
+    shapes = shapes_library.build_shapes(
+        [shapes_library.ellipsoid_coeffs(0.55, 0.45, 0.4, lmax)],
+        lmax, contact_quad=(6, 12),
+    )
+    box = 8.0
+    # Two stacked layers resting on a floor wall: persistent pair AND
+    # wall springs exist at the checkpoint (so dropping either diverges).
+    pts = []
+    for layer, z in enumerate((0.46, 1.32)):
+        for i in range(24):
+            px = (i % 6) * 1.3 + 0.7 + 0.08 * layer
+            py = (i // 6) * 1.3 + 0.7
+            pts.append([px, py, z])
+    x = np.asarray(pts) + rng.uniform(-0.03, 0.03, (48, 3))
+    v = rng.normal(size=(48, 3)) * 0.1
+    params = SimParams.create(
+        dt=1e-3, kn=1e4, gamma_n=30.0, mu=1.0,
+        gravity=(0.0, 0.0, -5.0), cutoff=1.2, skin=0.3,
+    )
+    state0 = scenarios.make_state(x, [0, 0, 0], [box, box, 4.0], v=v)
+    walls = (PlaneWall.create((0, 0, 0), (0, 0, 1)),)
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("x",))
+    kw = dict(
+        shapes=shapes, params=params, walls=walls,
+        box_lo=(0, 0, 0), box_hi=(box, box, 4.0),
+        cap_local=48, halo_cap=32, migrate_cap=16,
+        periodic=(True, True, False), k_max=16, cell_cap=12,
+        pair_capacity=512,
+    )
+    sim_a = ShardedSimulation(mesh=mesh4, **kw)
+    sa, na, ga = sim_a.init(state0)
+    sa, na, ga = sim_a.run(sa, na, ga, 250)
+
+    # Checkpoint mid-run.
+    gstate, payload = sim_a.gather_restart(sa, na)
+    p = tmp_path / "shard.npz"
+    rio.write_restart(p, gstate, None, params, extra=payload)
+    gstate2, _, params2, extra = rio.read_restart(p)
+
+    # Resume on a 2-device mesh (different decomposition).
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("x",))
+    kw2 = dict(kw, params=params2, cap_local=64, halo_cap=48)
+    sim_b = ShardedSimulation(mesh=mesh2, **kw2)
+    sb, nb, gb = sim_b.init(gstate2, restart=extra)
+
+    # Reference: the uninterrupted run.
+    sa, na, ga = sim_a.run(sa, na, ga, 200)
+    sb, nb, gb = sim_b.run(sb, nb, gb, 200)
+
+    def by_tag(state, field):
+        tags = np.asarray(state.tag)
+        act = np.asarray(state.active)
+        arr = np.asarray(getattr(state, field))
+        return {int(t): arr[i] for i, t in enumerate(tags) if act[i]}
+
+    xa, xb = by_tag(sa, "x"), by_tag(sb, "x")
+    va, vb = by_tag(sa, "v"), by_tag(sb, "v")
+    assert set(xa) == set(xb)
+    for t in xa:
+        np.testing.assert_allclose(xb[t], xa[t], atol=2e-3,
+                                   err_msg=f"x tag {t}")
+        np.testing.assert_allclose(vb[t], va[t], atol=5e-3,
+                                   err_msg=f"v tag {t}")
