@@ -74,6 +74,20 @@ def main():
         f"etot={float(therm['etot']):.6g}",
         file=sys.stderr,
     )
+    # The overflow channel folds max-neighbor-count, cell occupancy,
+    # pair-slot and stage-2 counts into one max; if it reaches the
+    # LARGEST capacity, physics was silently truncated — fail loudly
+    # rather than publish a number from a truncated run.
+    cap_max = max(sim.k_max, sim.cell_cap * 27, sim.pair_capacity,
+                  stage2 or 0)
+    if overflow >= cap_max:
+        print(f"# FATAL: overflow {overflow} >= max capacity {cap_max} "
+              "— truncated physics, bench void", file=sys.stderr)
+        sys.exit(1)
+    import math
+    if not math.isfinite(float(therm["etot"])):
+        print("# FATAL: non-finite energy", file=sys.stderr)
+        sys.exit(1)
 
     print(json.dumps({
         "metric": f"particle-steps/sec, {n} Lmax={lmax} rotating drum, 1 chip",

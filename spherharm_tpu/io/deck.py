@@ -10,16 +10,20 @@ Supported commands (LAMMPS syntax; unknown commands raise):
   boundary {p|f} {p|f} {p|f}
   atom_style spherharm
   region <id> block xlo xhi ylo yhi zlo zhi
-  create_box <ntypes> <region-id>
+  region <id> sphere cx cy cz R
+  region <id> cylinder {x|y|z} c1 c2 R lo hi
+  region <id> prism xlo xhi ylo yhi zlo zhi xy xz yz   # triclinic
+  create_box <ntypes> <region-id>      # prism region -> tilted cell
   shape <type> <coeff-file>            # SPHERHARM coefficient table
   shape <type> sphere <R> | ellipsoid <a> <b> <c> | blob <seed> [rough]
   density <type> <rho>
   read_data <file>
-  lattice sc <pitch>
+  lattice {sc|fcc|bcc|hcp} <pitch>
   create_atoms <type> random <N> <seed> <region-id> [scale <lo> <hi>]
   create_atoms <type> region <region-id> [seed <s>] [scale <lo> <hi>]
   velocity all create <KE-per-atom> <seed> | velocity all set vx vy vz
   pair_style spherharm <kn> <kt> <gamma_n> <gamma_t> <mu> [lmax <L>]
+             [rolling <k_roll> <gamma_roll> <mu_roll>]
   pair_coeff * *
   neighbor <skin> bin
   neigh_modify every <N> check {yes|no}
@@ -27,13 +31,16 @@ Supported commands (LAMMPS syntax; unknown commands raise):
   fix <id> all gravity <g> vector <x> <y> <z>
   fix <id> all wall/gran plane <px> <py> <pz> <nx> <ny> <nz>
   fix <id> all wall/gran cylinder <ax> <ay> <az> <dx> <dy> <dz> <R> <omega>
-  fix <id> all deform <rate_x> <rate_y> <rate_z>
+  fix <id> all deform <rate_x> <rate_y> <rate_z> [xy <r>] [xz <r>] [yz <r>]
   fix <id> all press/berendsen <target> <tau>
   timestep <dt>
   thermo <every>
   dump <id> all custom <every> <file> [cols...]
+  write_restart <file> | read_restart <file>
   run <N>
   variable / loop / if     # NOT supported (out of scope, raise)
+
+See docs/DECK.md for the full dialect description.
 
 The executor builds Shapes/SimParams/State, constructs a Simulation and
 runs it, producing thermo rows and dump files exactly where a LAMMPS run
@@ -61,6 +68,116 @@ class DeckError(ValueError):
     pass
 
 
+class Region:
+    """Geometric region (LAMMPS ``region``): membership + bounding box.
+
+    Mirrors the reference's Region hierarchy (SURVEY.md 2 B.7) in the
+    subset create_atoms/create_box need: block, sphere, cylinder, prism.
+    """
+
+    tilt = (0.0, 0.0, 0.0)
+
+    def contains(self, x: np.ndarray) -> np.ndarray:  # [n,3] -> bool[n]
+        raise NotImplementedError
+
+    def bounds(self):
+        """(lo, hi) enclosing orthogonal bounding box."""
+        raise NotImplementedError
+
+
+class BlockRegion(Region):
+    def __init__(self, lo, hi):
+        self.lo, self.hi = np.asarray(lo, float), np.asarray(hi, float)
+
+    def contains(self, x):
+        return np.all((x >= self.lo) & (x <= self.hi), axis=-1)
+
+    def bounds(self):
+        return self.lo, self.hi
+
+
+class PrismRegion(BlockRegion):
+    """Triclinic cell: block extents + (xy, xz, yz) tilt. Membership is
+    tested in fractional coordinates of the skewed cell."""
+
+    def __init__(self, lo, hi, tilt):
+        super().__init__(lo, hi)
+        self.tilt = tuple(float(t) for t in tilt)
+
+    def contains(self, x):
+        L = self.hi - self.lo
+        xy, xz, yz = self.tilt
+        f3 = (x[:, 2] - self.lo[2]) / L[2]
+        f2 = (x[:, 1] - self.lo[1] - yz * f3) / L[1]
+        f1 = (x[:, 0] - self.lo[0] - xy * f2 - xz * f3) / L[0]
+        f = np.stack([f1, f2, f3], axis=1)
+        return np.all((f >= 0.0) & (f <= 1.0), axis=1)
+
+    def bounds(self):
+        xy, xz, yz = self.tilt
+        lo = self.lo + np.minimum([xy + xz, yz, 0], 0)
+        hi = self.hi + np.maximum([xy + xz, yz, 0], 0)
+        return lo, hi
+
+
+class SphereRegion(Region):
+    def __init__(self, center, radius):
+        self.c, self.r = np.asarray(center, float), float(radius)
+
+    def contains(self, x):
+        return np.sum((x - self.c) ** 2, axis=-1) <= self.r**2
+
+    def bounds(self):
+        return self.c - self.r, self.c + self.r
+
+
+class CylinderRegion(Region):
+    """Axis-aligned cylinder: ``axis`` in {0,1,2}; (c1, c2) are the
+    centers in the two transverse dims (LAMMPS order), lo/hi along axis."""
+
+    def __init__(self, axis, c1, c2, radius, lo, hi):
+        self.axis = int(axis)
+        self.c1, self.c2, self.r = float(c1), float(c2), float(radius)
+        self.alo, self.ahi = float(lo), float(hi)
+
+    def contains(self, x):
+        t = [d for d in range(3) if d != self.axis]
+        d2 = (x[:, t[0]] - self.c1) ** 2 + (x[:, t[1]] - self.c2) ** 2
+        a = x[:, self.axis]
+        return (d2 <= self.r**2) & (a >= self.alo) & (a <= self.ahi)
+
+    def bounds(self):
+        lo, hi = np.empty(3), np.empty(3)
+        t = [d for d in range(3) if d != self.axis]
+        lo[t[0]], hi[t[0]] = self.c1 - self.r, self.c1 + self.r
+        lo[t[1]], hi[t[1]] = self.c2 - self.r, self.c2 + self.r
+        lo[self.axis], hi[self.axis] = self.alo, self.ahi
+        return lo, hi
+
+
+# Lattice basis points (fractions of the conventional cubic/hex cell),
+# matching the reference's Lattice styles (SURVEY.md 2 B.7).
+_LATTICE_BASIS = {
+    "sc": np.array([[0.0, 0.0, 0.0]]),
+    "bcc": np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+    "fcc": np.array([
+        [0.0, 0.0, 0.0], [0.5, 0.5, 0.0], [0.5, 0.0, 0.5], [0.0, 0.5, 0.5],
+    ]),
+    # orthorhombic representation of hcp (c/a = sqrt(8/3)): cell
+    # (a, sqrt(3) a, sqrt(8/3) a) with 4 basis atoms.
+    "hcp": np.array([
+        [0.0, 0.0, 0.0], [0.5, 0.5, 0.0],
+        [0.5, 5.0 / 6.0, 0.5], [0.0, 1.0 / 3.0, 0.5],
+    ]),
+}
+_LATTICE_CELL = {
+    "sc": np.array([1.0, 1.0, 1.0]),
+    "bcc": np.array([1.0, 1.0, 1.0]),
+    "fcc": np.array([1.0, 1.0, 1.0]),
+    "hcp": np.array([1.0, np.sqrt(3.0), np.sqrt(8.0 / 3.0)]),
+}
+
+
 class DeckRunner:
     """Parses and executes a LAMMPS-style input deck."""
 
@@ -82,12 +199,16 @@ class DeckRunner:
         self.dt = 1e-4
         self.gravity = (0.0, 0.0, 0.0)
         self.deform_rate = (0.0, 0.0, 0.0)
+        self.shear_rate = (0.0, 0.0, 0.0)
+        self.tilt = (0.0, 0.0, 0.0)
+        self.rolling = (0.0, 0.0, 0.0)
         self.press_target = 0.0
         self.press_tau = 0.0
         self.rebuild_every = 0
         self.walls = []
         self.fixes = []
         self.thermo_every = 0
+        self.computes = {}           # id -> registered compute style
         self.dumps = []              # (every, path, cols)
         self.atoms = None            # dict of arrays
         self.rng = np.random.default_rng(12345)
@@ -133,20 +254,41 @@ class DeckRunner:
     def cmd_boundary(self, a):
         self.periodic = tuple(tok.startswith("p") for tok in a[:3])
 
+    def cmd_newton(self, a):
+        pass  # forces are always half-list (Newton on) in this engine
+
     def cmd_atom_style(self, a):
         if a[0] not in ("spherharm", "sphere"):
             raise DeckError(f"unsupported atom_style {a[0]}")
 
     def cmd_region(self, a):
         rid, kind = a[0], a[1]
-        if kind != "block":
-            raise DeckError("only block regions supported")
-        v = [float(t) for t in a[2:8]]
-        self.regions[rid] = (np.array(v[0::2]), np.array(v[1::2]))
+        if kind == "block":
+            v = [float(t) for t in a[2:8]]
+            self.regions[rid] = BlockRegion(v[0::2], v[1::2])
+        elif kind == "prism":
+            v = [float(t) for t in a[2:11]]
+            self.regions[rid] = PrismRegion(v[0:6:2], v[1:6:2], v[6:9])
+        elif kind == "sphere":
+            self.regions[rid] = SphereRegion(
+                [float(t) for t in a[2:5]], float(a[5])
+            )
+        elif kind == "cylinder":
+            axis = {"x": 0, "y": 1, "z": 2}[a[2]]
+            self.regions[rid] = CylinderRegion(
+                axis, float(a[3]), float(a[4]), float(a[5]),
+                float(a[6]), float(a[7]),
+            )
+        else:
+            raise DeckError(f"unsupported region style {kind!r}")
 
     def cmd_create_box(self, a):
         self.n_types = int(a[0])
-        self.box = self.regions[a[1]]
+        reg = self.regions[a[1]]
+        if not isinstance(reg, BlockRegion):
+            raise DeckError("create_box needs a block or prism region")
+        self.box = (reg.lo, reg.hi)
+        self.tilt = reg.tilt
 
     def cmd_shape(self, a):
         t = int(a[0]) - 1
@@ -168,8 +310,9 @@ class DeckRunner:
         self.box = (self.atoms["box_lo"], self.atoms["box_hi"])
 
     def cmd_lattice(self, a):
-        if a[0] != "sc":
-            raise DeckError("only simple-cubic lattice supported")
+        if a[0] not in _LATTICE_BASIS:
+            raise DeckError(f"unsupported lattice style {a[0]!r}")
+        self.lattice_style = a[0]
         self.lattice_pitch = float(a[1])
 
     def cmd_create_atoms(self, a):
@@ -181,19 +324,40 @@ class DeckRunner:
         if a[1] == "random":
             n, seed, rid = int(a[2]), int(a[3]), a[4]
             rng = np.random.default_rng(seed)
-            lo, hi = self.regions[rid]
-            x = rng.uniform(lo, hi, (n, 3))
+            reg = self.regions[rid]
+            lo, hi = reg.bounds()
+            # Rejection-sample inside the region's bounding box.
+            got = []
+            need = n
+            while need > 0:
+                cand = rng.uniform(lo, hi, (max(2 * need, 64), 3))
+                cand = cand[reg.contains(cand)][:need]
+                if cand.size:
+                    got.append(cand)
+                    need -= cand.shape[0]
+            x = np.concatenate(got, axis=0)
         elif a[1] == "region":
-            # Fill the region with simple-cubic lattice sites (the
-            # LAMMPS lattice + create_atoms region idiom).
+            # Fill the region with lattice sites (the LAMMPS
+            # lattice + create_atoms region idiom).
             pitch = getattr(self, "lattice_pitch", None)
             if pitch is None:
                 raise DeckError("create_atoms region requires a lattice")
-            lo, hi = self.regions[a[2]]
-            axes = [np.arange(lo[d] + pitch / 2, hi[d], pitch) for d in range(3)]
+            style = getattr(self, "lattice_style", "sc")
+            reg = self.regions[a[2]]
+            lo, hi = reg.bounds()
+            cell = _LATTICE_CELL[style] * pitch
+            basis = _LATTICE_BASIS[style]
+            # Half-cell offset keeps sites off the region faces (and
+            # reproduces the historical sc placement exactly).
+            axes = [np.arange(lo[d] + cell[d] / 2, hi[d], cell[d])
+                    for d in range(3)]
             gx, gy, gz = np.meshgrid(*axes, indexing="ij")
-            x = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+            corners = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+            x = (corners[:, None, :] + basis[None, :, :] * cell).reshape(-1, 3)
+            x = x[reg.contains(x) & np.all(x < hi - 1e-9, axis=1)]
             n = x.shape[0]
+            if n == 0:
+                raise DeckError("lattice produced no sites inside region")
             x = x + rng.uniform(-0.02, 0.02, x.shape) * pitch
         else:
             raise DeckError(
@@ -245,6 +409,9 @@ class DeckRunner:
         }
         if "lmax" in a:
             self.lmax = int(a[a.index("lmax") + 1])
+        if "rolling" in a:
+            i = a.index("rolling")
+            self.rolling = tuple(float(v) for v in a[i + 1:i + 4])
 
     def cmd_pair_coeff(self, a):
         pass  # per-type data comes from `shape` commands
@@ -285,11 +452,40 @@ class DeckRunner:
                 raise DeckError(f"wall kind {a[3]} unsupported")
         elif style == "deform":
             self.deform_rate = tuple(float(v) for v in a[3:6])
+            shear = [0.0, 0.0, 0.0]
+            for k, slot in (("xy", 0), ("xz", 1), ("yz", 2)):
+                if k in a:
+                    shear[slot] = float(a[a.index(k) + 1])
+            self.shear_rate = tuple(shear)
         elif style == "press/berendsen":
             self.press_target = float(a[3])
             self.press_tau = float(a[4])
         else:
             raise DeckError(f"unsupported fix style {style}")
+
+    def cmd_compute(self, a):
+        """``compute <id> all <style> [args...]`` — registry lookup.
+
+        Scalar styles are appended to every thermo row as ``c_<id>``;
+        per-atom styles are evaluated on demand via
+        ``runner.compute(<id>)``.
+        """
+        from spherharm_tpu.core import computes as computes_mod
+
+        cid, style = a[0], a[2]
+        if (style not in computes_mod.SCALAR_COMPUTES
+                and style not in computes_mod.PERATOM_COMPUTES):
+            raise DeckError(f"unsupported compute style {style!r}")
+        self.computes[cid] = style
+
+    def compute(self, cid: str):
+        """Evaluate a deck-registered compute by id."""
+        from spherharm_tpu.core import computes as computes_mod
+
+        self._materialize()
+        return computes_mod.compute(
+            self.computes[cid], self.sim, self.state, self.neigh
+        )
 
     def cmd_timestep(self, a):
         self.dt = float(a[0])
@@ -350,16 +546,22 @@ class DeckRunner:
             dt=self.dt, kn=self.pair["kn"], kt=self.pair["kt"],
             gamma_n=self.pair["gamma_n"], gamma_t=self.pair["gamma_t"],
             mu=self.pair["mu"], gravity=self.gravity,
+            k_roll=self.rolling[0], gamma_roll=self.rolling[1],
+            mu_roll=self.rolling[2],
             skin=skin, cutoff=cutoff,
-            deform_rate=self.deform_rate,
+            deform_rate=self.deform_rate, shear_rate=self.shear_rate,
             press_target=(self.press_target,) * 3, press_tau=self.press_tau,
         )
         lo, hi = self.box
+        triclinic = any(abs(t) > 0 for t in self.tilt) or any(
+            abs(s) > 0 for s in self.shear_rate
+        )
         state = scenarios.make_state(
             self.atoms["x"], lo, hi,
             v=self.atoms.get("v"), q=self.atoms.get("q"),
             angmom=self.atoms.get("angmom"),
             scale=self.atoms.get("scale"), shtype=self.atoms.get("shtype"),
+            tilt=self.tilt if triclinic else None,
         )
         if "tag" in self.atoms:
             state = state.replace(
@@ -367,7 +569,10 @@ class DeckRunner:
                     jnp.asarray(self.atoms["tag"], jnp.int32))
             )
         n = self.atoms["x"].shape[0]
-        grid = CellGrid(lo, hi, cutoff + skin, self.periodic)
+        # Tilted cells: inflate the binning cutoff so the 27-stencil
+        # stays complete in the unsheared frame (see ops/neighbor.py).
+        cell_cutoff = (cutoff + skin) * (1.4 if triclinic else 1.0)
+        grid = CellGrid(lo, hi, cell_cutoff, self.periodic)
         self.sim = Simulation(
             shapes, params, periodic=self.periodic, neighbor_mode="cell",
             grid=grid, k_max=self.k_max, cell_cap=self.cell_cap,
@@ -375,13 +580,48 @@ class DeckRunner:
             pair_capacity=max(4 * n, 512),
             press_control=self.press_tau > 0,
             rebuild_every=self.rebuild_every,
+            triclinic=triclinic,
         )
         self.state, self.neigh = self.sim.init_neighbors(state)
 
+    def cmd_write_restart(self, a):
+        from spherharm_tpu.io import restart as rio
+
+        self._materialize()
+        rio.write_restart(a[0], self.state, self.neigh, self.sim.params)
+
+    def cmd_read_restart(self, a):
+        """Resume from a checkpoint. The deck must still define the box,
+        shapes and pair_style (geometry tables are not stored in the
+        restart, matching the reference where pair_style follows
+        read_restart); the checkpointed state/history replace the
+        deck-constructed ones."""
+        from spherharm_tpu.io import restart as rio
+
+        state, neigh, params, _ = rio.read_restart(a[0])
+        if neigh is None:
+            raise DeckError(f"{a[0]} is a state-only checkpoint")
+        act = np.asarray(state.active)
+        self.atoms = {
+            f: np.asarray(getattr(state, f))[act]
+            for f in ("x", "v", "q", "angmom", "scale", "shtype", "tag")
+        }
+        self.box = (np.asarray(state.box_lo), np.asarray(state.box_hi))
+        self._materialize()
+        self.state, self.neigh = state, neigh
+
     def _outputs(self):
+        from spherharm_tpu.core import computes as computes_mod
+
         step = int(self.state.step)
         if self.thermo_every and step % self.thermo_every == 0:
-            self.thermo_log.log(self.sim.thermo(self.state, self.neigh))
+            row = self.sim.thermo(self.state, self.neigh)
+            for cid, style in self.computes.items():
+                if style in computes_mod.SCALAR_COMPUTES:
+                    row[f"c_{cid}"] = float(computes_mod.compute(
+                        style, self.sim, self.state, self.neigh
+                    ))
+            self.thermo_log.log(row)
         for d in self.dumps:
             every, path, cols, started = d
             if every and step % every == 0:

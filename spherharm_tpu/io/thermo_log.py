@@ -39,6 +39,14 @@ class ThermoLog:
 
     def log(self, thermo: dict):
         row = {k: float(thermo[k]) for k, _, _ in self.columns if k in thermo}
+        # Extra scalar entries (deck `compute` results, c_<id>) ride
+        # along in the row dict even without a fixed-format column.
+        for k, v in thermo.items():
+            if k not in row:
+                try:
+                    row[k] = float(v)
+                except (TypeError, ValueError):
+                    pass
         self.rows.append(row)
         cells = []
         for key, _, fmt in self.columns:

@@ -124,4 +124,138 @@ def test_deck_two_body(tmp_path):
 
 def test_deck_unknown_command():
     with pytest.raises(Exception, match="unsupported"):
-        DeckRunner().run_text("compute 1 all stress/atom NULL\n")
+        DeckRunner().run_text("bond_style harmonic\n")
+    with pytest.raises(Exception, match="unsupported compute"):
+        DeckRunner().run_text("compute 1 all cna/atom 3.0\n")
+
+
+def test_deck_regions_and_lattices(tmp_path):
+    """Sphere/cylinder/prism regions + fcc/bcc/hcp lattices fill with
+    the right counts and all sites lie inside the region."""
+    from spherharm_tpu.io.deck import (
+        BlockRegion, CylinderRegion, DeckRunner, PrismRegion, SphereRegion,
+    )
+
+    r = DeckRunner()
+    r.run_text("""
+units           lj
+boundary        p p p
+atom_style      spherharm
+region          box block 0 10 0 10 0 10
+create_box      1 box
+shape           1 sphere 0.4
+region          ball sphere 5 5 5 3
+lattice         fcc 1.6
+create_atoms    1 region ball
+""")
+    x = r.atoms["x"]
+    assert x.shape[0] > 20
+    assert np.all(np.sum((x - 5.0) ** 2, axis=1) <= (3.0 + 0.1) ** 2)
+
+    r2 = DeckRunner()
+    r2.run_text("""
+units           lj
+boundary        p p p
+atom_style      spherharm
+region          box block 0 10 0 10 0 10
+create_box      1 box
+shape           1 sphere 0.4
+region          tube cylinder z 5 5 2.5 1 9
+lattice         bcc 1.5
+create_atoms    1 region tube
+""")
+    x2 = r2.atoms["x"]
+    assert x2.shape[0] > 20
+    d2 = (x2[:, 0] - 5) ** 2 + (x2[:, 1] - 5) ** 2
+    assert np.all(d2 <= (2.5 + 0.1) ** 2)
+    assert np.all((x2[:, 2] > 0.8) & (x2[:, 2] < 9.2))
+
+    # hcp density ~ sc x 4 sites per (a, sqrt3 a, sqrt(8/3) a) cell
+    r3 = DeckRunner()
+    r3.run_text("""
+units           lj
+boundary        p p p
+atom_style      spherharm
+region          box block 0 10 0 10 0 10
+create_box      1 box
+shape           1 sphere 0.4
+lattice         hcp 1.5
+create_atoms    1 region box
+""")
+    n_hcp = r3.atoms["x"].shape[0]
+    vol_per_site = 1.5**3 * np.sqrt(3.0) * np.sqrt(8.0 / 3.0) / 4
+    assert n_hcp == pytest.approx(1000 / vol_per_site, rel=0.25)
+
+    # Region membership primitives.
+    pr = PrismRegion([0, 0, 0], [4, 4, 4], [2.0, 0.0, 0.0])
+    assert pr.contains(np.array([[5.0, 3.9, 0.1]]))[0]   # sheared corner
+    assert not pr.contains(np.array([[0.5, 3.9, 0.1]]))[0]
+
+
+def test_deck_triclinic_prism_runs():
+    """create_box from a prism region yields a tilted periodic cell and
+    runs under the triclinic pipeline."""
+    from spherharm_tpu.io.deck import DeckRunner
+
+    r = DeckRunner()
+    r.run_text("""
+units           lj
+boundary        p p p
+atom_style      spherharm
+region          cell prism 0 8 0 8 0 8 1.5 0 0
+create_box      1 cell
+shape           1 sphere 0.45
+lattice         sc 1.9
+region          fill block 0.5 7.5 0.5 7.5 0.5 7.5
+create_atoms    1 region fill seed 7
+velocity        all create 0.05 11
+pair_style      spherharm 1e4 1e4 5 5 0.3
+pair_coeff      * *
+timestep        1e-3
+thermo          50
+run             100
+""")
+    assert r.sim.triclinic
+    assert float(r.state.tilt[0]) == 1.5
+    assert len(r.thermo_log.rows) >= 2
+    ke = r.thermo_log.series("ke")
+    assert np.isfinite(ke).all()
+
+
+def test_deck_restart_roundtrip(tmp_path):
+    """write_restart/read_restart deck commands resume bit-exact."""
+    from spherharm_tpu.io.deck import DeckRunner
+
+    common = """
+units           lj
+boundary        p p p
+atom_style      spherharm
+region          box block 0 8 0 8 0 8
+create_box      1 box
+shape           1 ellipsoid 0.5 0.45 0.4
+lattice         sc 1.8
+create_atoms    1 region box seed 3
+velocity        all create 0.2 5
+pair_style      spherharm 1e4 1e4 10 10 0.4 lmax 2 rolling 2e3 5 0.2
+pair_coeff      * *
+timestep        1e-3
+"""
+    ckpt = tmp_path / "deck.restart"
+    r1 = DeckRunner()
+    r1.run_text(common + f"""
+run             120
+write_restart   {ckpt}
+run             80
+""")
+    r2 = DeckRunner()
+    r2.run_text(common + f"""
+read_restart    {ckpt}
+run             80
+""")
+    np.testing.assert_array_equal(
+        np.asarray(r1.state.x), np.asarray(r2.state.x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.state.v), np.asarray(r2.state.v)
+    )
+    assert float(r1.sim.params.k_roll) == 2e3
