@@ -177,6 +177,9 @@ def rotating_drum(
     kn: float = 1.0e5,
     gamma_n: float = 50.0,
     mu: float = 0.5,
+    k_roll: float = 2.0e4,
+    gamma_roll: float = 20.0,
+    mu_roll: float = 0.2,
     dt: float = 1.0e-4,
     seed: int = 0,
     k_max: int = 24,
@@ -190,8 +193,9 @@ def rotating_drum(
     dtype=jnp.float32,
 ):
     """Config 4: N polydisperse Lmax=8 particles in a rotating drum —
-    friction + rolling, full neighbor-rebuild cadence; the throughput
-    benchmark scenario (BASELINE.json:10)."""
+    friction + rolling (spring-dashpot-slider ON by default, matching
+    BASELINE.json:10 'friction + rolling'), full neighbor-rebuild
+    cadence; the throughput benchmark scenario."""
     rng = np.random.default_rng(seed)
     coeffs = np.stack([
         shapes_library.blob_coeffs(
@@ -241,6 +245,7 @@ def rotating_drum(
     box_hi = (box, L_drum / 2 + rmax, box)
     params = SimParams.create(
         dt=dt, kn=kn, gamma_n=gamma_n, mu=mu,
+        k_roll=k_roll, gamma_roll=gamma_roll, mu_roll=mu_roll,
         gravity=(0.0, 0.0, -10.0),
         skin=0.4 * rmax, cutoff=2.0 * rmax, dtype=dtype,
     )

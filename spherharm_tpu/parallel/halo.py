@@ -53,6 +53,37 @@ from spherharm_tpu.ops import contact, integrate, neighbor, walls as walls_mod
 COMM_FIELDS = ("x", "v", "q", "angmom", "scale", "shtype", "tag", "image")
 
 
+def balance_fracs(state_global, n_shards: int, min_frac: float = 0.0):
+    """Weighted slab boundaries for equal particle counts per shard.
+
+    The LAMMPS ``balance x weighted`` analogue (SURVEY.md 2 B.6: the
+    reference's RCB balancer reduces to weighted 1D cuts for a slab
+    decomposition). Returns ``bounds_frac`` for ShardedSimulation:
+    per-shard x-quantiles of the active particles, clamped so no slab
+    is narrower than ``min_frac`` of the box (pass
+    (cutoff + skin + tilt_pad) / Lx to keep every slab halo-legal).
+    Rebalancing mid-run = gather_restart -> new sim with fresh fracs ->
+    init(restart=...), a deliberate recompile-on-rebalance design (the
+    decomposition is a static program constant; the reference also
+    reneighbors + re-partitions wholesale on `balance`).
+    """
+    x = np.asarray(state_global.x)
+    act = np.asarray(state_global.active)
+    lo = float(np.asarray(state_global.box_lo)[0])
+    hi = float(np.asarray(state_global.box_hi)[0])
+    xf = np.clip((x[act, 0] - lo) / (hi - lo), 0.0, 1.0)
+    qs = np.quantile(xf, np.linspace(0.0, 1.0, n_shards + 1))
+    qs[0], qs[-1] = 0.0, 1.0
+    if min_frac > 0.0:
+        if min_frac * n_shards > 1.0:
+            raise ValueError("min_frac too large for this shard count")
+        for i in range(1, n_shards):          # left-to-right pass
+            qs[i] = max(qs[i], qs[i - 1] + min_frac)
+        for i in range(n_shards - 1, 0, -1):  # right-to-left pass
+            qs[i] = min(qs[i], qs[i + 1] - min_frac)
+    return qs
+
+
 @struct.dataclass
 class GhostPack:
     """Ghost mirrors + forward-comm routing (rebuilt at each re-neighbor)."""
@@ -124,6 +155,7 @@ class ShardedSimulation:
         stage2_capacity: int = 0,
         triclinic: bool = False,
         tilt_pad: float = 0.0,
+        bounds_frac=None,
     ):
         self.shapes = shapes
         self.params = params
@@ -156,15 +188,38 @@ class ShardedSimulation:
 
         self.box_lo_np = np.asarray(box_lo, np.float64)
         self.box_hi_np = np.asarray(box_hi, np.float64)
-        self.slab_w = (self.box_hi_np[0] - self.box_lo_np[0]) / self.n_shards
+        Lx = self.box_hi_np[0] - self.box_lo_np[0]
+        # Weighted (load-balanced) slab boundaries, as FRACTIONS of the
+        # box (so box deformation rescales them automatically). Default:
+        # uniform slabs. The LAMMPS `balance x uniform|weighted`
+        # analogue — compute fracs with balance_fracs(). Static per sim
+        # instance: rebalancing constructs a new sim (recompile), which
+        # matches how rarely the reference rebalances.
+        if bounds_frac is None:
+            bounds_frac = np.linspace(0.0, 1.0, self.n_shards + 1)
+        self.bounds_frac = np.asarray(bounds_frac, np.float64)
+        if (self.bounds_frac.shape != (self.n_shards + 1,)
+                or self.bounds_frac[0] != 0.0 or self.bounds_frac[-1] != 1.0
+                or np.any(np.diff(self.bounds_frac) <= 0)):
+            raise ValueError(
+                "bounds_frac must be increasing, length n_shards+1, "
+                "with ends 0 and 1"
+            )
+        slab_widths = np.diff(self.bounds_frac) * Lx
+        self.slab_w = float(slab_widths.min())
         cutoff_total = float(params.cutoff + params.skin)
         self.halo_depth = cutoff_total + self.tilt_pad
         if self.slab_w < self.halo_depth:
             raise ValueError(
-                f"slab width {self.slab_w:.3g} < cutoff+skin "
-                f"{self.halo_depth:.3g}: too many shards for this box"
+                f"narrowest slab {self.slab_w:.3g} < cutoff+skin "
+                f"{self.halo_depth:.3g}: too many shards (or too skewed "
+                "a balance) for this box"
             )
-        # Static per-device bin grid covering slab + halo margin.
+        # Static per-device bin grid covering slab + halo margin. The
+        # grid DIMS are one static program constant across shards while
+        # the binning EXTENT is dynamic per shard, so cells must stay
+        # >= cutoff for the NARROWEST slab (widest slabs just get
+        # larger cells, which is always safe for the stencil).
         bin_lo = np.array(
             [-self.halo_depth, self.box_lo_np[1], self.box_lo_np[2]]
         )
@@ -216,8 +271,11 @@ class ShardedSimulation:
         P_ = self.n_shards
         x = np.asarray(state_global.x)
         active = np.asarray(state_global.active)
+        Lx_np = self.box_hi_np[0] - self.box_lo_np[0]
+        xf = (x[:, 0] - self.box_lo_np[0]) / Lx_np
         slab = np.clip(
-            ((x[:, 0] - self.box_lo_np[0]) // self.slab_w).astype(int), 0, P_ - 1
+            np.searchsorted(self.bounds_frac[1:-1], xf, side="right"),
+            0, P_ - 1,
         )
         locals_ = []
         sels = []
@@ -323,8 +381,26 @@ class ShardedSimulation:
         return (left_send.astype(state.x.dtype),
                 right_send.astype(state.x.dtype))
 
-    def _slab_w_dyn(self, state):
-        return (state.box_hi[0] - state.box_lo[0]) / self.n_shards
+    def _slab_edges(self, state, idx):
+        """(slab_lo, slab_hi) of shard ``idx`` under weighted bounds.
+
+        Fractions of the CURRENT box length, so deformation rescales
+        the decomposition with the cell.
+        """
+        fr = jnp.asarray(self.bounds_frac, state.x.dtype)
+        Lx = state.box_hi[0] - state.box_lo[0]
+        return (state.box_lo[0] + fr[idx] * Lx,
+                state.box_lo[0] + fr[idx + 1] * Lx)
+
+    def _slab_of(self, state, x0):
+        """Owner shard of x-coordinates ``x0`` (weighted searchsorted)."""
+        fr = jnp.asarray(self.bounds_frac[1:-1], state.x.dtype)
+        Lx = state.box_hi[0] - state.box_lo[0]
+        xf = (x0 - state.box_lo[0]) / Lx
+        return jnp.clip(
+            jnp.searchsorted(fr, xf, side="right").astype(jnp.int32),
+            0, self.n_shards - 1,
+        )
 
     def _has_left(self, idx):
         return self.periodic[0] | (idx > 0)
@@ -350,9 +426,7 @@ class ShardedSimulation:
     def _halo_membership(self, state):
         """Select owned particles within halo_depth of each slab face."""
         idx = jax.lax.axis_index("x")
-        slab_w = self._slab_w_dyn(state)
-        slab_lo = state.box_lo[0] + idx * slab_w
-        slab_hi = slab_lo + slab_w
+        slab_lo, slab_hi = self._slab_edges(state, idx)
         near_l = state.active & (state.x[:, 0] < slab_lo + self.halo_depth)
         near_r = state.active & (state.x[:, 0] >= slab_hi - self.halo_depth)
         near_l = near_l & self._has_left(idx)
@@ -384,12 +458,7 @@ class ShardedSimulation:
         idx = jax.lax.axis_index("x")
         P_ = self.n_shards
         M = self.migrate_cap
-        tgt = jnp.clip(
-            jnp.floor(
-                (state.x[:, 0] - state.box_lo[0]) / self._slab_w_dyn(state)
-            ).astype(jnp.int32),
-            0, P_ - 1,
-        )
+        tgt = self._slab_of(state, state.x[:, 0])
         moving = state.active & (tgt != idx) & (P_ > 1)
         go_left = moving & (tgt == (idx - 1) % P_) & self._has_left(idx)
         # On a 2-shard ring left and right neighbor coincide: ~go_left
@@ -536,13 +605,12 @@ class ShardedSimulation:
         )
 
         ext = self._extend(state, ghosts)
-        slab_w = self._slab_w_dyn(state)
-        slab_lo = state.box_lo[0] + idx * slab_w
+        slab_lo, slab_hi = self._slab_edges(state, idx)
         bin_lo = jnp.stack([
             slab_lo - self.halo_depth, state.box_lo[1], state.box_lo[2]
         ])
         bin_hi = jnp.stack([
-            slab_lo + slab_w + self.halo_depth,
+            slab_hi + self.halo_depth,
             state.box_hi[1], state.box_hi[2],
         ])
         cutoff = self.params.cutoff + self.params.skin
