@@ -34,10 +34,11 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", 200))
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    # Two-stage narrow phase: full-gradient kernel only on true contacts
-    # (~6 contacts/particle half-list in a dense bed; 5n gives slack and
-    # overflow is flagged in neigh.overflow).
-    stage2 = int(os.environ.get("BENCH_STAGE2", 5 * n if use_pallas else 0))
+    # Two-stage narrow phase: full-gradient kernel only on near-contact
+    # pairs (~3 true contacts/particle half-list in a dense bed; the
+    # probe's conservative margins add ~a few tenths more; 3n covers it
+    # and overflow fails the bench loudly below if it ever saturates).
+    stage2 = int(os.environ.get("BENCH_STAGE2", 3 * n if use_pallas else 0))
     t0 = time.time()
     sim, state, neigh = scenarios.rotating_drum(
         n=n, lmax=lmax,

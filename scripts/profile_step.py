@@ -107,8 +107,8 @@ def main():
     t_pack = timeit(lambda: pack(state, neigh)[0])
     print(f"pack        {t_pack*1e3:8.2f} ms", flush=True)
 
-    cap1 = jnp.stack([shapes.cap1_x, shapes.cap1_glw,
-                      shapes.cap1_cpsi, shapes.cap1_spsi], axis=0)
+    cap1 = jnp.stack([shapes.cap_x, shapes.cap_glw,
+                      shapes.cap_cpsi, shapes.cap_spsi], axis=0)
 
     s1 = jax.jit(lambda pk, a, b: contact_pallas.stage1_depth_pallas(
         pk, a, b, cap1, lmax=shapes.lmax))
@@ -141,6 +141,27 @@ def main():
     t_reb = timeit(lambda: reb(state, neigh), n=3)
     print(f"rebuild     {t_reb*1e3:8.2f} ms  (every {sim.rebuild_every})",
           flush=True)
+
+    for blk in (64, 128, 256):
+        try:
+            s1b = jax.jit(lambda pk, a, b, _blk=blk:
+                          contact_pallas.stage1_depth_pallas(
+                              pk, a, b, cap1, lmax=shapes.lmax, block=_blk))
+            t = timeit(lambda: s1b(packed, ci, cj))
+            print(f"stage1 b{blk:<4d}{t*1e3:8.2f} ms", flush=True)
+        except Exception as e:
+            print(f"stage1 b{blk}: {type(e).__name__}", flush=True)
+    # bf16 probe: does the VPU run the chain faster in bf16?
+    try:
+        pk16 = packed.astype(jnp.bfloat16)
+        ci16, cj16 = ci.astype(jnp.bfloat16), cj.astype(jnp.bfloat16)
+        cap16 = cap1.astype(jnp.bfloat16)
+        s1h = jax.jit(lambda pk, a, b: contact_pallas.stage1_depth_pallas(
+            pk, a, b, cap16, lmax=shapes.lmax, block=256))
+        t = timeit(lambda: s1h(pk16, ci16, cj16))
+        print(f"stage1 bf16 {t*1e3:8.2f} ms", flush=True)
+    except Exception as e:
+        print(f"stage1 bf16: {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -669,8 +669,13 @@ def contact_force_pairs(state, shapes, params, neigh,
             rows=rows,
         )
         if stage2_cap and stage2_cap < P:
-            cap1 = jnp.stack([shapes.cap1_x, shapes.cap1_glw,
-                              shapes.cap1_cpsi, shapes.cap1_spsi], axis=0)
+            # Probe on the SAME 128-node lane-aligned cap grid as stage
+            # 2 (the 32-node coarse grid only fills 32 of 128 VPU lanes
+            # — measured SLOWER despite 4x fewer nodes), but with the
+            # basis truncated at l=4 + conservative tail bound inside
+            # the kernel (~5x fewer FLOPs/node than the gradient eval).
+            cap1 = jnp.stack([shapes.cap_x, shapes.cap_glw,
+                              shapes.cap_cpsi, shapes.cap_spsi], axis=0)
             depth = contact_pallas.stage1_depth_pallas(
                 packed, ci, cj, cap1, lmax=shapes.lmax
             )

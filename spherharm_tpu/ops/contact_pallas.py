@@ -458,14 +458,30 @@ def _make_kernel(lmax: int):
     return kernel
 
 
-def _make_stage1_kernel(lmax: int):
+def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
     """r-only containment probe on the coarse cap grid.
 
     Writes the per-pair maximum signed node depth (r_target - rho; > 0
     means a node of one surface lies inside the other) over BOTH probe
     directions, or -1e9 for pairs failing the bounding-sphere cull. The
     caller keeps pairs with depth > -margin for the full stage-2 kernel.
-    """
+
+    The radius is evaluated with the basis TRUNCATED at ``l1`` (the
+    probe's whole cost is the ALP chain: 25 terms at l1=4 vs 81 at
+    lmax=8 is a ~3x FLOP cut). Truncation stays CONSERVATIVE by adding
+    a tail bound to the reported depth: |r_true - r_trunc| <=
+    sum_{l>l1} |c_lm| * max|Y_lm| with max|Y_lm| <= sqrt((2*lmax+1)/4pi)
+    for the fully-normalized real basis, so
+    depth_true <= depth_trunc + bound_i + bound_j (the node-position
+    error bound_i propagates through rho one-to-one).
+
+    ``bf16``: run the ALP/trig chain in bfloat16 (the VPU's fast path)
+    and absorb the ~0.4%-per-term rounding into the additive margin
+    (2% of rb_i + rb_j — an order of magnitude above the observed
+    error); the probe stays a conservative bound."""
+    ymax = math.sqrt((2 * lmax + 1) / (4.0 * math.pi))
+    n_lo = (l1 + 1) ** 2
+    chain_dt = jnp.bfloat16 if bf16 else jnp.float32
 
     def kernel(pairs_ref, ci_ref, cj_ref, cap_ref, out_ref):
         def col(name):
@@ -519,7 +535,11 @@ def _make_stage1_kernel(lmax: int):
             diry = cos_g * ey + sc * t1y + ss * t2y
             dirz = cos_g * ez + sc * t1z + ss * t2z
             ct_a, st_a, cp_a, sp_a = _unit_trig(dirx, diry, dirz)
-            r_a = _radius_stream(c_a, ct_a, st_a, cp_a, sp_a, lmax)
+            r_a = _radius_stream(
+                c_a[:, :].astype(chain_dt), ct_a.astype(chain_dt),
+                st_a.astype(chain_dt), cp_a.astype(chain_dt),
+                sp_a.astype(chain_dt), l1,
+            ).astype(jnp.float32)
             rel = _rot(q_a, (r_a * dirx, r_a * diry, r_a * dirz))
             u = _rot_inv(q_b, (rel[0] - dx, rel[1] - dy, rel[2] - dz))
             rho = jnp.sqrt(
@@ -529,7 +549,11 @@ def _make_stage1_kernel(lmax: int):
             ct_b, st_b, cp_b, sp_b = _unit_trig(
                 u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho
             )
-            r_b = _radius_stream(c_b, ct_b, st_b, cp_b, sp_b, lmax)
+            r_b = _radius_stream(
+                c_b[:, :].astype(chain_dt), ct_b.astype(chain_dt),
+                st_b.astype(chain_dt), cp_b.astype(chain_dt),
+                sp_b.astype(chain_dt), l1,
+            ).astype(jnp.float32)
             return jnp.max(r_b - rho, axis=1, keepdims=True)
 
         qi, qj = vec("qi"), vec("qj")
@@ -537,18 +561,32 @@ def _make_stage1_kernel(lmax: int):
                     col("rbi"), d[0], d[1], d[2])
         m_ji = side(qj, qi, cj_ref, ci_ref, col("rbi"), col("rmj"),
                     col("rbj"), -d[0], -d[1], -d[2])
-        depth = jnp.where(cull, jnp.maximum(m_ij, m_ji), -1e9)
+        depth = jnp.maximum(m_ij, m_ji)
+        if n_lo < ci_ref.shape[1]:
+            tail = ymax * (
+                jnp.sum(jnp.abs(ci_ref[:, n_lo:]), axis=1, keepdims=True)
+                + jnp.sum(jnp.abs(cj_ref[:, n_lo:]), axis=1, keepdims=True)
+            )
+            depth = depth + tail
+        if bf16:
+            depth = depth + 0.02 * rsum
+        depth = jnp.where(cull, depth, -1e9)
         out_ref[:, :] = jnp.broadcast_to(depth, out_ref.shape)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("lmax", "block", "interpret"))
-def stage1_depth_pallas(packed, ci, cj, cap1, lmax: int,
-                        block: int = 64, interpret: bool | None = None):
-    """Stage-1 probe over all pairs. Returns max signed depth [P]."""
+@partial(jax.jit,
+         static_argnames=("lmax", "l1", "block", "interpret", "bf16"))
+def stage1_depth_pallas(packed, ci, cj, cap1, lmax: int, l1: int = 4,
+                        block: int = 256, interpret: bool | None = None,
+                        bf16: bool = True):
+    """Stage-1 probe over all pairs. Returns a conservative UPPER BOUND
+    on the max signed depth [P] (truncated-basis eval + tail bound +
+    bf16 rounding allowance)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    l1 = min(l1, lmax)
     P = packed.shape[0]
     NC = ci.shape[1]
     G1 = cap1.shape[1]
@@ -559,7 +597,7 @@ def stage1_depth_pallas(packed, ci, cj, cap1, lmax: int,
         ci = jnp.pad(ci, ((0, pad), (0, 0)))
         cj = jnp.pad(cj, ((0, pad), (0, 0)))
     out = pl.pallas_call(
-        _make_stage1_kernel(lmax),
+        _make_stage1_kernel(lmax, l1, bf16),
         out_shape=jax.ShapeDtypeStruct((n_blocks * block, 8), packed.dtype),
         grid=(n_blocks,),
         in_specs=[
