@@ -38,7 +38,14 @@ Supported commands (LAMMPS syntax; unknown commands raise):
   dump <id> all custom <every> <file> [cols...]
   write_restart <file> | read_restart <file>
   run <N>
-  variable / loop / if     # NOT supported (out of scope, raise)
+  variable <n> equal <expr> | loop <N> | index <v...> | string <v> | delete
+  label <name> / jump SELF [<label>] / next <var>   # canonical loops
+  if "<cond>" then "<cmd>"... [else "<cmd>"...]
+  print "<text>"
+  $x, ${name}, $(expr) substitution; equal-style expressions support
+  arithmetic (^ for power), comparisons, &&/||, sqrt/exp/ln/log/abs/
+  floor/ceil/PI, v_<name>, and thermo keywords (step, atoms, ke, pe,
+  etotal, press, vol)
 
 See docs/DECK.md for the full dialect description.
 
@@ -49,6 +56,8 @@ would.
 
 from __future__ import annotations
 
+import math
+import re
 import shlex
 
 import numpy as np
@@ -212,6 +221,9 @@ class DeckRunner:
         self.dumps = []              # (every, path, cols)
         self.atoms = None            # dict of arrays
         self.rng = np.random.default_rng(12345)
+        self.variables = {}         # name -> (style, data)
+        self._lines = []
+        self._skip_jump = False
         # runtime
         self.sim = None
         self.state = None
@@ -227,20 +239,175 @@ class DeckRunner:
         return self
 
     def run_text(self, text):
-        for raw in text.splitlines():
-            line = raw.split("#")[0].strip()
+        """Execute a deck with a program counter (label/jump/next give
+        LAMMPS-style loops; see cmd_variable)."""
+        lines = [raw.split("#")[0].strip() for raw in text.splitlines()]
+        self._lines = lines
+        pc = 0
+        while pc < len(lines):
+            line = lines[pc]
             if not line:
+                pc += 1
                 continue
-            self.execute(line)
+            nxt = self.execute(line)
+            pc = nxt if nxt is not None else pc + 1
         return self
 
     def execute(self, line):
+        """Run one command line. Returns a new program counter for flow
+        commands (jump), else None."""
+        line = self._substitute(line)
         toks = shlex.split(line)
         cmd, args = toks[0], toks[1:]
         handler = getattr(self, f"cmd_{cmd}", None)
         if handler is None:
             raise DeckError(f"unsupported deck command: {cmd!r}")
-        handler(args)
+        return handler(args)
+
+    # -- variables / control flow (the reference's Variable class + input
+    # script flow: label/jump/next/if/print; SURVEY.md 2 B.1) -----------
+
+    def _var_str(self, name):
+        if name not in self.variables:
+            raise DeckError(f"undefined variable {name!r}")
+        style, data = self.variables[name]
+        if style in ("loop", "index"):
+            return str(data[1][data[0]])
+        if style == "string":
+            return str(data)
+        return repr(self._eval_expr(data))  # equal-style
+
+    def _substitute(self, line):
+        line = re.sub(r"\$\{(\w+)\}", lambda m: self._var_str(m.group(1)),
+                      line)
+        line = re.sub(
+            r"\$\(([^()]*)\)",
+            lambda m: repr(self._eval_expr(m.group(1))), line,
+        )
+        return re.sub(r"\$(\w)", lambda m: self._var_str(m.group(1)), line)
+
+    def _eval_expr(self, expr, _seen=()):
+        """Evaluate a LAMMPS equal-style expression: arithmetic, ^ for
+        power, comparison/boolean ops, thermo keywords, v_<name>.
+
+        Referenced variables are resolved lazily (and cycles raise)."""
+        py = expr.replace("^", "**").replace("&&", " and ").replace(
+            "||", " or ")
+        env = {
+            "__builtins__": {},
+            "sqrt": math.sqrt, "exp": math.exp, "ln": math.log,
+            "log": math.log10, "abs": abs, "floor": math.floor,
+            "ceil": math.ceil, "PI": math.pi,
+        }
+        for name in set(re.findall(r"\bv_(\w+)\b", py)):
+            if name in _seen:
+                raise DeckError(f"circular variable reference {name!r}")
+            if name not in self.variables:
+                raise DeckError(f"undefined variable {name!r}")
+            style, data = self.variables[name]
+            if style in ("loop", "index"):
+                val = data[1][data[0]]
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
+            elif style == "string":
+                val = data
+            else:
+                val = self._eval_expr(data, _seen + (name,))
+            env[f"v_{name}"] = val
+        if self.sim is not None:
+            t = self.sim.thermo(self.state, self.neigh)
+            env.update({
+                "step": int(t["step"]), "atoms": int(t["n"]),
+                "ke": float(t["ke"]), "pe": float(t["pe_pair"]),
+                "etotal": float(t["etot"]), "press": float(t["press"]),
+            })
+            lo, hi = self.state.box_lo, self.state.box_hi
+            env["vol"] = float(
+                (hi[0] - lo[0]) * (hi[1] - lo[1]) * (hi[2] - lo[2])
+            )
+        elif self.box is not None:
+            lo, hi = self.box
+            env["vol"] = float(np.prod(np.asarray(hi) - np.asarray(lo)))
+        try:
+            out = eval(py, env)  # noqa: S307 — builtins stripped
+        except Exception as e:
+            raise DeckError(f"bad expression {expr!r}: {e}") from None
+        if isinstance(out, bool):
+            return int(out)
+        return out
+
+    def cmd_variable(self, a):
+        name, style = a[0], a[1]
+        if style == "delete":
+            self.variables.pop(name, None)
+            return
+        if style == "loop":
+            # Re-declaring a live loop variable is a no-op (LAMMPS
+            # semantics: the canonical label/next/jump loop re-executes
+            # the declaration every iteration).
+            if name in self.variables and self.variables[name][0] == "loop":
+                return
+            vals = [str(i) for i in range(1, int(a[2]) + 1)]
+            self.variables[name] = ("loop", [0, vals])
+        elif style == "index":
+            if name in self.variables and self.variables[name][0] == "index":
+                return
+            self.variables[name] = ("index", [0, list(a[2:])])
+        elif style == "equal":
+            self.variables[name] = ("equal", " ".join(a[2:]))
+        elif style == "string":
+            self.variables[name] = ("string", a[2])
+        else:
+            raise DeckError(f"unsupported variable style {style!r}")
+
+    def cmd_label(self, a):
+        pass  # positions are resolved by jump's scan
+
+    def cmd_next(self, a):
+        """Advance loop/index variables; on exhaustion delete them and
+        arm the skip of the next jump (ends the canonical loop)."""
+        for name in a:
+            style, data = self.variables.get(name, (None, None))
+            if style not in ("loop", "index"):
+                raise DeckError(f"next on non-loop variable {name!r}")
+            data[0] += 1
+            if data[0] >= len(data[1]):
+                del self.variables[name]
+                self._skip_jump = True
+
+    def cmd_jump(self, a):
+        if self._skip_jump:
+            self._skip_jump = False
+            return None
+        if a[0] not in ("SELF", "self"):
+            raise DeckError("jump supports SELF only (single-file decks)")
+        if len(a) == 1:
+            return 0  # restart the deck
+        target = a[1]
+        for i, line in enumerate(self._lines):
+            t = line.split()
+            if len(t) == 2 and t[0] == "label" and t[1] == target:
+                return i
+        raise DeckError(f"label {target!r} not found")
+
+    def cmd_print(self, a):
+        print(" ".join(a))
+
+    def cmd_if(self, a):
+        """if "cond" then "cmd" ... [else "cmd" ...] — each quoted arg
+        after then/else is a full command line."""
+        cond = self._eval_expr(a[0])
+        if a[1] != "then":
+            raise DeckError("if requires: if <cond> then <cmds...>")
+        try:
+            split = a.index("else")
+            thens, elses = a[2:split], a[split + 1:]
+        except ValueError:
+            thens, elses = a[2:], []
+        for cmdline in thens if cond else elses:
+            self.execute(cmdline)
 
     # -- setup commands --------------------------------------------------
 

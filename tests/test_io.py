@@ -259,3 +259,70 @@ run             80
         np.asarray(r1.state.v), np.asarray(r2.state.v)
     )
     assert float(r1.sim.params.k_roll) == 2e3
+
+
+def test_deck_variables_and_expressions(capsys):
+    """variable equal/string + ${} / $() substitution + if/then/else
+    (the reference's Variable class + input-script flow, SURVEY.md 2
+    B.1 — VERDICT r1 had these as out-of-scope)."""
+    r = DeckRunner()
+    r.run_text("""
+variable        two equal 1+1
+variable        r equal sqrt(v_two^2)
+variable        name string hello
+print           "${name} $(v_r*3) ${two}"
+if              "v_two == 2" then "print 'yes'" else "print 'no'"
+if              "v_two > 5 || v_r > 1" then "print 'or-works'"
+""")
+    out = capsys.readouterr().out
+    assert "hello 6.0 2" in out
+    assert "yes" in out and "no" not in out
+    assert "or-works" in out
+
+
+def test_deck_loop_label_jump(capsys):
+    """The canonical LAMMPS loop idiom: label / variable loop / next /
+    jump SELF."""
+    r = DeckRunner()
+    r.run_text("""
+label           top
+variable        i loop 4
+print           "iter $i"
+next            i
+jump            SELF top
+print           "done"
+""")
+    out = capsys.readouterr().out
+    assert [l for l in out.splitlines() if l.startswith("iter")] == [
+        "iter 1", "iter 2", "iter 3", "iter 4"
+    ]
+    assert "done" in out
+    assert "i" not in r.variables  # exhausted loop var deleted
+
+
+def test_deck_variable_runs_simulation(capsys):
+    """Variables parameterize real runs; thermo keywords readable in
+    expressions after materialization."""
+    r = DeckRunner()
+    r.run_text("""
+variable        n_steps equal 20*2
+units           lj
+boundary        p p p
+atom_style      spherharm
+region          box block 0 6 0 6 0 6
+create_box      1 box
+shape           1 sphere 0.45
+lattice         sc 1.5
+create_atoms    1 region box seed 3
+velocity        all create 0.2 7
+pair_style      spherharm 1e4 1e4 5 5 0.3
+pair_coeff      * *
+timestep        1e-3
+run             ${n_steps}
+if              "ke > 0" then "print 'ke=$(ke)'"
+print           "vol=$(vol)"
+""")
+    assert int(r.state.step) == 40
+    out = capsys.readouterr().out
+    assert "ke=" in out
+    assert "vol=216" in out
