@@ -44,7 +44,7 @@ def build(dt=1e-4, kn=1e5, lmax=8, v0=0.6, seed=0):
         dt=dt, kn=kn, gamma_n=0.0, mu=0.0,
         skin=0.25 * rmax, cutoff=2.0 * rmax * 1.02,
     )
-    box = 3.6 * rmax  # 4 particles, dense enough to collide constantly
+    box = 4.4 * rmax  # 4 particles: free at start, collide constantly
     pitch = box / 2.0
     pts, vel, typ = [], [], []
     for i in range(4):
@@ -78,7 +78,7 @@ def main():
     e0 = float(t0["etot"])
     assert float(t0["pe_pair"]) == 0.0, "must start in free flight"
     print(f"# e0 = {e0:.8g}  (ke {float(t0['ke']):.6g} "
-          f"rotke {float(t0['rotke']):.6g})", flush=True)
+          f"erot {float(t0['erot']):.6g})", flush=True)
     done = 0
     last = None
     n_contact_skip = 0

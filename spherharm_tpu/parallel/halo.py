@@ -161,6 +161,7 @@ class ShardedSimulation:
         self.params = params
         self.mesh = mesh
         self.n_shards = mesh.devices.size
+        self._axes = ("x",)   # collective axes (Brick2D overrides)
         self.cap_local = int(cap_local)
         self.halo_cap = int(halo_cap)
         self.migrate_cap = int(migrate_cap) or max(halo_cap // 2, 16)
@@ -638,7 +639,7 @@ class ShardedSimulation:
         overflow = jnp.maximum(
             overflow, jnp.where(n_pairs > self.pair_capacity, n_pairs, 0)
         )
-        overflow = jax.lax.pmax(overflow, "x")
+        overflow = jax.lax.pmax(overflow, self._axes)
         neigh = neigh.replace(
             idx=nidx, mask=nmask, hist=hist, neigh_tag=neigh_tag,
             row_tag=ext.tag, x_build=ext.x,
@@ -726,7 +727,7 @@ class ShardedSimulation:
                 state.box_lo, state.box_hi, self.periodic,
                 tilt=self._tilt(state),
             )
-            disp2 = jax.lax.pmax(disp2, "x")
+            disp2 = jax.lax.pmax(disp2, self._axes)
             need = disp2 > (0.5 * self.params.skin) ** 2
             state, neigh, ghosts = jax.lax.cond(
                 need,
@@ -740,7 +741,7 @@ class ShardedSimulation:
                 state.box_lo, state.box_hi, self.periodic,
                 tilt=self._tilt(state),
             )
-            disp2 = jax.lax.pmax(disp2, "x")
+            disp2 = jax.lax.pmax(disp2, self._axes)
             viol = (disp2 > (0.5 * self.params.skin) ** 2).astype(jnp.int32)
             state, neigh, ghosts = self._rebuild(state, neigh, ghosts)
             neigh = neigh.replace(
@@ -920,9 +921,9 @@ def _thermo_jit(sim: ShardedSimulation, state, neigh, ghosts):
             "pe_pair": aux["pe_pair"], "pe_wall": aux["pe_wall"],
             "pe_grav": pe_grav,
         }
-        scalars = {k: jax.lax.psum(v, "x") for k, v in scalars.items()}
-        kin_tensor = jax.lax.psum(kin_tensor, "x")
-        virial = jax.lax.psum(aux["virial"], "x")
+        scalars = {k: jax.lax.psum(v, sim._axes) for k, v in scalars.items()}
+        kin_tensor = jax.lax.psum(kin_tensor, sim._axes)
+        virial = jax.lax.psum(aux["virial"], sim._axes)
         vol_box = jnp.prod(state.box_hi - state.box_lo)
         stress = (kin_tensor + virial) / vol_box
         scalars["etot"] = (
@@ -932,7 +933,7 @@ def _thermo_jit(sim: ShardedSimulation, state, neigh, ghosts):
         scalars["press"] = jnp.trace(stress) / 3.0
         scalars["stress"] = stress
         scalars["step"] = state.step
-        scalars["neigh_overflow"] = jax.lax.pmax(neigh.overflow, "x")
+        scalars["neigh_overflow"] = jax.lax.pmax(neigh.overflow, sim._axes)
         return scalars
 
     args = (state, neigh, ghosts)

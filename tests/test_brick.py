@@ -1,0 +1,121 @@
+"""2D brick decomposition == single device (SURVEY.md 2 B.6: the
+reference's Comm::set_proc_grid brick; VERDICT r1 missing-7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from spherharm_tpu.core.simulation import Simulation
+from spherharm_tpu.core.state import SimParams
+from spherharm_tpu.models import scenarios, shapes_library
+from spherharm_tpu.ops.neighbor import CellGrid
+from spherharm_tpu.parallel.brick import Brick2DSimulation
+
+pytestmark = pytest.mark.slow
+
+
+def _setup(n=96, lmax=2, seed=0):
+    rng = np.random.default_rng(seed)
+    shapes = shapes_library.build_shapes(
+        [shapes_library.ellipsoid_coeffs(0.55, 0.45, 0.4, lmax)],
+        lmax, contact_quad=(6, 12),
+    )
+    box = 8.0
+    side = int(np.ceil(n ** (1 / 3)))
+    pitch = box / side
+    pts = [
+        [(i % side + 0.5) * pitch, ((i // side) % side + 0.5) * pitch,
+         (i // side**2 + 0.5) * pitch]
+        for i in range(n)
+    ]
+    x = np.asarray(pts) + rng.uniform(-0.08, 0.08, (n, 3))
+    v = rng.normal(size=(n, 3)) * 0.5
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    params = SimParams.create(dt=1e-3, kn=1e4, gamma_n=5.0, mu=0.3,
+                              cutoff=1.2, skin=0.3)
+    state = scenarios.make_state(x, [0, 0, 0], [box] * 3, v=v, q=q)
+    return shapes, params, state, box
+
+
+def _by_tag(state, field):
+    tags = np.asarray(state.tag)
+    act = np.asarray(state.active)
+    arr = np.asarray(getattr(state, field))
+    return {int(t): arr[i] for i, t in enumerate(tags) if act[i]}
+
+
+def test_brick2d_matches_single_device():
+    """2x2 brick == single device per tag, including cross-corner
+    contacts and migration over both axes."""
+    shapes, params, state0, box = _setup()
+    periodic = (True, True, True)
+
+    grid = CellGrid([0, 0, 0], [box] * 3, 1.5, periodic)
+    sim1 = Simulation(
+        shapes, params, periodic=periodic, neighbor_mode="cell",
+        grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+    )
+    s1, n1 = sim1.init_neighbors(state0)
+    s1, n1 = sim1.run(s1, n1, 120)
+    t1 = sim1.thermo(s1, n1)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    simb = Brick2DSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+        box_hi=(box, box, box), cap_local=96, halo_cap=64, migrate_cap=24,
+        periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+    )
+    sb, ngb, ghb = simb.init(state0)
+    sb, ngb, ghb = simb.run(sb, ngb, ghb, 120)
+    tb = simb.thermo(sb, ngb, ghb)
+    assert int(tb["neigh_overflow"]) <= 64
+
+    xa, xb = _by_tag(s1, "x"), _by_tag(sb, "x")
+    va, vb = _by_tag(s1, "v"), _by_tag(sb, "v")
+    assert set(xa) == set(xb)
+    L = box
+    for t in xa:
+        dx = (xb[t] - xa[t] + L / 2) % L - L / 2
+        np.testing.assert_allclose(dx, 0.0, atol=2e-3,
+                                   err_msg=f"x tag {t}")
+        np.testing.assert_allclose(vb[t], va[t], atol=5e-3,
+                                   err_msg=f"v tag {t}")
+    assert float(tb["ke"]) == pytest.approx(float(t1["ke"]), rel=1e-3)
+    assert float(tb["etot"]) == pytest.approx(float(t1["etot"]), rel=1e-3)
+
+
+def test_brick2d_migration_both_axes():
+    """Strong drift along x AND y crosses brick boundaries in both dims
+    (incl. diagonally); no particle lost or duplicated."""
+    shapes, params, state0, box = _setup(n=64, seed=2)
+    v = np.array(state0.v)
+    v[:, 0] += 2.0
+    v[:, 1] += 1.5
+    state0 = state0.replace(v=jnp.asarray(v, jnp.float32))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    sim = Brick2DSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+        box_hi=(box, box, box), cap_local=64, halo_cap=48, migrate_cap=32,
+        periodic=(True, True, True), k_max=24, cell_cap=12,
+        pair_capacity=512,
+    )
+    s, ng, gh = sim.init(state0)
+    tags0 = sorted(
+        int(t) for t, a in zip(np.asarray(s.tag), np.asarray(s.active)) if a
+    )
+    for _ in range(6):
+        s, ng, gh = sim.run(s, ng, gh, 100)
+    tags1 = sorted(
+        int(t) for t, a in zip(np.asarray(s.tag), np.asarray(s.active)) if a
+    )
+    assert tags0 == tags1 == list(range(1, 65))
+    assert int(ng.overflow) < 512
+    # Particles spread across all 4 bricks.
+    act = np.asarray(s.active)
+    bx = np.clip(np.asarray(s.x)[:, 0] // (box / 2), 0, 1)
+    by = np.clip(np.asarray(s.x)[:, 1] // (box / 2), 0, 1)
+    blocks = {(int(a), int(b)) for a, b, ok in zip(bx, by, act) if ok}
+    assert len(blocks) == 4
