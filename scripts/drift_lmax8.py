@@ -30,14 +30,18 @@ from spherharm_tpu.core.state import SimParams  # noqa: E402
 from spherharm_tpu.models import scenarios, shapes_library  # noqa: E402
 
 
-def build(dt=1e-4, kn=1e5, lmax=8, v0=0.6, seed=0):
+def build(dt=None, kn=1e5, lmax=8, v0=0.6, seed=0, quad=None):
+    import os
+
+    dt = dt or float(os.environ.get("DRIFT_DT", 1e-4))
+    q = quad or int(os.environ.get("DRIFT_QUAD", 10))
     rng = np.random.default_rng(seed)
     coeffs = [
         shapes_library.blob_coeffs(lmax, seed=s, roughness=0.12)
         for s in (3, 5)
     ]
     shapes = shapes_library.build_shapes(
-        coeffs, lmax, contact_quad=(10, 20),
+        coeffs, lmax, contact_quad=(q, 2 * q),
     )
     rmax = float(np.max(np.asarray(shapes.rmax)))
     params = SimParams.create(

@@ -494,7 +494,7 @@ class DeckRunner:
             reg = self.regions[rid]
             lo, hi = reg.bounds()
             # Rejection-sample inside the region's bounding box.
-            got = []
+            got = [np.zeros((0, 3))]
             need = n
             while need > 0:
                 cand = rng.uniform(lo, hi, (max(2 * need, 64), 3))
@@ -503,6 +503,8 @@ class DeckRunner:
                     got.append(cand)
                     need -= cand.shape[0]
             x = np.concatenate(got, axis=0)
+            if n == 0:
+                return  # "random 0 ..." is a documented no-op placeholder
         elif a[1] == "region":
             # Fill the region with lattice sites (the LAMMPS
             # lattice + create_atoms region idiom).
@@ -819,3 +821,32 @@ class DeckRunner:
             done += todo
             self._outputs()
         self.total_steps += n
+
+
+def main(argv=None):
+    """CLI: run input decks. ``python -m spherharm_tpu.io.deck FILE...``"""
+    import os
+    import sys
+
+    # The axon TPU plugin force-prepends itself to jax_platforms; honor
+    # an explicit JAX_PLATFORMS=cpu request by re-pinning post-import.
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    if not args or args[0] in ("-h", "--help"):
+        print("usage: python -m spherharm_tpu.io.deck [-q] <deck.in> ...")
+        return 0 if args else 1
+    echo = True
+    if args[0] == "-q":
+        echo = False
+        args = args[1:]
+    for path in args:
+        DeckRunner(echo=echo).run_file(path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
