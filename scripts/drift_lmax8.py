@@ -69,6 +69,7 @@ def build(dt=None, kn=1e5, lmax=8, v0=0.6, seed=0, quad=None):
     sim = Simulation(
         shapes, params, neighbor_mode="allpairs", k_max=3,
         periodic=(True, True, True),
+        conservative=os.environ.get("DRIFT_CONSERVATIVE", "0") == "1",
     )
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh

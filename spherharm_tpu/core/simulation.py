@@ -61,6 +61,7 @@ class Simulation:
         wall_capacity: int = 0,
         stage2_capacity: int = 0,
         triclinic: bool = False,
+        conservative: bool = False,
         gravity_pe_origin=(0.0, 0.0, 0.0),
     ):
         self.shapes = shapes
@@ -91,6 +92,17 @@ class Simulation:
         # (binning runs in the unsheared frame; see ops/contact.py
         # unshear_coords).
         self.triclinic = bool(triclinic)
+        # Conservative mode (jnp path only): elastic force/torques from
+        # the exact autodiff gradient of the sampled PE. Fixes the
+        # secular NVE energy loss of the geometric assembly at the cost
+        # of a pe-vjp per pair (~2x narrow-phase FLOPs). See
+        # ops.contact.pair_elastic_grad.
+        self.conservative = bool(conservative)
+        if conservative and use_pallas:
+            raise ValueError(
+                'conservative mode is jnp-path only (the Pallas kernel '
+                'has no autodiff twin yet); set use_pallas=False'
+            )
         self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
         if neighbor_mode == "cell" and grid is None:
             raise ValueError("neighbor_mode='cell' requires a CellGrid")
@@ -186,6 +198,7 @@ class Simulation:
                     use_pallas=self.use_pallas,
                     stage2_cap=self.stage2_capacity,
                     tilt=self._tilt(state),
+                    conservative=self.conservative,
                 )
             )
             neigh = neigh.replace(
@@ -200,6 +213,7 @@ class Simulation:
                 state, self.shapes, self.params, neigh,
                 exact=self.exact_eval, periodic=self.periodic,
                 chunk=self.pair_chunk, tilt=self._tilt(state),
+                conservative=self.conservative,
             )
             neigh = neigh.replace(hist=hist)
 

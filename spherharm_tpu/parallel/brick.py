@@ -106,6 +106,7 @@ class Brick2DSimulation(ShardedSimulation):
         self.stage2_capacity = int(stage2_capacity)
         self.triclinic = False
         self.tilt_pad = 0.0
+        self.conservative = False  # jnp-grad elastic mode: slabs only
 
         self.box_lo_np = np.asarray(box_lo, np.float64)
         self.box_hi_np = np.asarray(box_hi, np.float64)

@@ -156,6 +156,7 @@ class ShardedSimulation:
         triclinic: bool = False,
         tilt_pad: float = 0.0,
         bounds_frac=None,
+        conservative: bool = False,
     ):
         self.shapes = shapes
         self.params = params
@@ -178,6 +179,9 @@ class ShardedSimulation:
         self.rebuild_every = int(rebuild_every)
         self.wall_capacity = int(wall_capacity)
         self.stage2_capacity = int(stage2_capacity)
+        self.conservative = bool(conservative)
+        if conservative and use_pallas:
+            raise ValueError('conservative mode is jnp-path only')
         # Triclinic slab decomposition: a y/z-crossing image shifts x by
         # the tilt, so raw-x halo membership must reach tilt_pad further
         # (set tilt_pad >= max |xy| + |xz| the run will see).
@@ -665,6 +669,7 @@ class ShardedSimulation:
                 use_pallas=self.use_pallas,
                 stage2_cap=self.stage2_capacity,
                 tilt=self._tilt(state),
+                conservative=self.conservative,
             )
         )
         neigh = neigh.replace(
