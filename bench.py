@@ -39,11 +39,17 @@ def main():
     # probe's conservative margins add ~a few tenths more; 3n covers it
     # and overflow fails the bench loudly below if it ever saturates).
     stage2 = int(os.environ.get("BENCH_STAGE2", 3 * n if use_pallas else 0))
+    # Half-list candidates in a dense random packing run ~4-5/particle
+    # (measured: 0.8/particle loose, ~3 settled; the old 10n default
+    # made 90%+ of all pair-stage work masked padding). Overflow fails
+    # the bench loudly below if 5n ever saturates.
+    pair_cap = int(os.environ.get("BENCH_PAIR_CAP", 5 * n))
     t0 = time.time()
     sim, state, neigh = scenarios.rotating_drum(
         n=n, lmax=lmax,
         pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", 65536)),
         k_max=24,
+        pair_capacity=pair_cap,
         use_pallas=use_pallas,
         rebuild_every=int(os.environ.get("BENCH_REBUILD_EVERY", 20)),
         stage2_capacity=stage2,

@@ -26,10 +26,17 @@ import jax as _jax
 # and tests start in seconds instead of minutes. Opt out with
 # SPHERHARM_JAX_CACHE=0.
 if _os.environ.get("SPHERHARM_JAX_CACHE", "1") != "0":
-    # Partition by platform: AOT artifacts embed host machine features,
-    # and mixing remote-compiled TPU-host CPU code with this host's CPU
-    # triggers feature-mismatch (possible SIGILL) on reload.
+    # Partition by platform AND remote-compile mode: AOT artifacts embed
+    # the COMPILING host's machine features, so CPU executables produced
+    # by the axon remote helper (PALLAS_AXON_REMOTE_COMPILE=1, the
+    # machine default) are feature-incompatible with this host's CPU —
+    # loading them warns at best and segfaults inside the cache reader
+    # at worst (observed in a full-suite run). Keeping the two worlds in
+    # separate directories makes every cached entry loadable by the
+    # process class that wrote it.
     _plat = str(_jax.config.jax_platforms or "default").replace(",", "_")
+    _rc = _os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "1")
+    _plat = f"{_plat}-rc{_rc}"
     _cache = _os.path.join(
         _os.environ.get(
             "SPHERHARM_JAX_CACHE_DIR",
