@@ -33,6 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spherharm_tpu.models.shapes_library import sh_index
 
+import os as _os
+
+# EXPERIMENTAL: run the stage-2 ALP gradient chain in bfloat16 with f32
+# accumulation downstream. CURRENTLY FAILS TO LOWER when enabled: Mosaic
+# rejects a bf16 comparison in the gradient chain ('Target does not
+# support this comparison', v5e, jax 0.9.0) — the r-only stage-1 chain
+# lowers fine (that one ships bf16 by default). Kept as the marker for
+# the round-3 attempt; default off costs nothing (trace-time branch).
+_S2_BF16 = _os.environ.get("SPHERHARM_S2_BF16", "0") == "1"
+
 # Packed per-pair input layout [P, F].
 _F = 48  # padded width
 _SLOTS = {
@@ -262,7 +272,16 @@ def _probe(col, ci_or_cj, pre, side, cap, lmax):
     dirz = cos_g * ez + sc * t1z + ss * t2z
 
     ct_a, st_a, cp_a, sp_a = _unit_trig(dirx, diry, dirz)
-    r_a, drt_a, drp_a = _radius_grad_stream(c_a, ct_a, st_a, cp_a, sp_a, lmax)
+    if _S2_BF16:
+        bt = jnp.bfloat16
+        r_a, drt_a, drp_a = (
+            v.astype(jnp.float32) for v in _radius_grad_stream(
+                c_a[:, :].astype(bt), ct_a.astype(bt), st_a.astype(bt),
+                cp_a.astype(bt), sp_a.astype(bt), lmax)
+        )
+    else:
+        r_a, drt_a, drp_a = _radius_grad_stream(
+            c_a, ct_a, st_a, cp_a, sp_a, lmax)
     na = _surface_normal(r_a, drt_a, drp_a, ct_a, st_a, cp_a, sp_a)
     cos_incl = jnp.clip(dirx * na[0] + diry * na[1] + dirz * na[2], 0.05, 1.0)
     w_solid = one_m * cap_glw
@@ -279,7 +298,16 @@ def _probe(col, ci_or_cj, pre, side, cap, lmax):
     ct_b, st_b, cp_b, sp_b = _unit_trig(
         u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho
     )
-    r_b, drt_b, drp_b = _radius_grad_stream(c_b, ct_b, st_b, cp_b, sp_b, lmax)
+    if _S2_BF16:
+        bt = jnp.bfloat16
+        r_b, drt_b, drp_b = (
+            v.astype(jnp.float32) for v in _radius_grad_stream(
+                c_b[:, :].astype(bt), ct_b.astype(bt), st_b.astype(bt),
+                cp_b.astype(bt), sp_b.astype(bt), lmax)
+        )
+    else:
+        r_b, drt_b, drp_b = _radius_grad_stream(
+            c_b, ct_b, st_b, cp_b, sp_b, lmax)
 
     # Depth-moment overlap integrals (see ops/contact.py: no containment
     # indicator — kink-free and lens-exact via delta = 1.5*S2/S1).

@@ -371,8 +371,23 @@ def test_weighted_balance_matches_uniform():
     """Load-balanced (weighted) slab bounds: a clustered gas balanced by
     particle-count quantiles must produce the SAME physics as uniform
     slabs, with better per-shard occupancy (LAMMPS `balance` analogue,
-    VERDICT r1 missing-7)."""
+    VERDICT r1 missing-7).
+
+    NOTE: runs with the persistent compilation cache DISABLED — the
+    XLA executable serializer segfaults on this particular sharded
+    program (searchsorted bounds under shard_map; observed on both the
+    write and the read path, jaxlib 0.9.0). Physics is unaffected."""
     from spherharm_tpu.parallel.halo import balance_fracs
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        _run_weighted_balance_case(balance_fracs)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+
+
+def _run_weighted_balance_case(balance_fracs):
 
     n_dev = 4
     lmax = 2
