@@ -119,3 +119,37 @@ def test_brick2d_migration_both_axes():
     by = np.clip(np.asarray(s.x)[:, 1] // (box / 2), 0, 1)
     blocks = {(int(a), int(b)) for a, b, ok in zip(bx, by, act) if ok}
     assert len(blocks) == 4
+
+
+def test_brick2d_gather_restart_roundtrip(tmp_path):
+    """The slab class's gather_restart/init(restart=...) machinery is
+    inherited by the brick (owned-rows-lead layout assumption): resume
+    a 2x2-brick run from a checkpoint and match the uninterrupted run."""
+    shapes, params, state0, box = _setup(n=48, seed=5)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    kw = dict(
+        shapes=shapes, params=params, mesh=mesh,
+        box_lo=(0, 0, 0), box_hi=(box, box, box),
+        cap_local=48, halo_cap=32, migrate_cap=16,
+        periodic=(True, True, True), k_max=16, cell_cap=10,
+        pair_capacity=384,
+    )
+    sim = Brick2DSimulation(**kw)
+    s, ng, gh = sim.init(state0)
+    s, ng, gh = sim.run(s, ng, gh, 150)
+
+    gstate, payload = sim.gather_restart(s, ng)
+    sim2 = Brick2DSimulation(**kw)
+    s2, n2, g2 = sim2.init(gstate, restart=payload)
+
+    s, ng, gh = sim.run(s, ng, gh, 150)
+    s2, n2, g2 = sim2.run(s2, n2, g2, 150)
+
+    a = _by_tag(s, "x")
+    b = _by_tag(s2, "x")
+    assert set(a) == set(b)
+    L = box
+    for t in a:
+        dx = (b[t] - a[t] + L / 2) % L - L / 2
+        np.testing.assert_allclose(dx, 0.0, atol=2e-3,
+                                   err_msg=f"x tag {t}")

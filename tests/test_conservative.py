@@ -59,3 +59,39 @@ def test_conservative_rejects_pallas():
     with pytest.raises(ValueError, match="jnp-path only"):
         Simulation(shapes, params, neighbor_mode="allpairs", k_max=1,
                    conservative=True, use_pallas=True)
+
+
+@pytest.mark.slow
+def test_sharded_conservative_compiles_and_runs():
+    """ShardedSimulation(conservative=True): vjp under shard_map must
+    compile and stay finite (the sharded accuracy mode)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from spherharm_tpu.parallel.halo import ShardedSimulation
+
+    lmax = 2
+    rng = np.random.default_rng(4)
+    shapes = shapes_library.build_shapes(
+        [shapes_library.ellipsoid_coeffs(0.55, 0.45, 0.4, lmax)],
+        lmax, contact_quad=(6, 12),
+    )
+    box = 8.0
+    n = 48
+    x = rng.uniform(0.5, box - 0.5, (n, 3))
+    v = rng.normal(size=(n, 3)) * 0.4
+    params = SimParams.create(dt=1e-3, kn=1e4, gamma_n=5.0, mu=0.3,
+                              cutoff=1.2, skin=0.3)
+    state = scenarios.make_state(x, [0, 0, 0], [box] * 3, v=v)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+    sim = ShardedSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+        box_hi=(box, box, box), cap_local=64, halo_cap=48,
+        migrate_cap=24, periodic=(True, True, True), k_max=16,
+        cell_cap=10, pair_capacity=384, conservative=True,
+    )
+    s, ng, gh = sim.init(state)
+    s, ng, gh = sim.run(s, ng, gh, 50)
+    t = sim.thermo(s, ng, gh)
+    assert np.isfinite(float(t["etot"]))
+    assert int(t["n"]) == n

@@ -379,12 +379,13 @@ def test_weighted_balance_matches_uniform():
     write and the read path, jaxlib 0.9.0). Physics is unaffected."""
     from spherharm_tpu.parallel.halo import balance_fracs
 
-    old_dir = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
+    # jax_compilation_cache_dir=None does NOT deactivate an already-
+    # initialized cache backend; the enable flag is checked per compile.
+    jax.config.update("jax_enable_compilation_cache", False)
     try:
         _run_weighted_balance_case(balance_fracs)
     finally:
-        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_enable_compilation_cache", True)
 
 
 def _run_weighted_balance_case(balance_fracs):
