@@ -12,6 +12,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # compile helper by default — minutes per graph, plus cross-machine CPU
 # feature mismatches. Compile locally for tests.
 os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+# The persistent compilation cache is DISABLED for the suite: the XLA
+# executable (de)serializer is flaky for several shard_map programs on
+# this jaxlib (0.9.0) — cache reads AND writes of the weighted-balance
+# and sharded-restart programs segfaulted three full-suite runs.
+# Compile times dominate the suite either way; correctness wins.
+os.environ["SPHERHARM_JAX_CACHE"] = "0"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
