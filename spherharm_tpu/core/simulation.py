@@ -92,17 +92,13 @@ class Simulation:
         # (binning runs in the unsheared frame; see ops/contact.py
         # unshear_coords).
         self.triclinic = bool(triclinic)
-        # Conservative mode (jnp path only): elastic force/torques from
-        # the exact autodiff gradient of the sampled PE. Fixes the
-        # secular NVE energy loss of the geometric assembly at the cost
-        # of a pe-vjp per pair (~2x narrow-phase FLOPs). See
-        # ops.contact.pair_elastic_grad.
+        # Conservative mode: elastic force/torques from the exact
+        # autodiff gradient of the sampled PE. Fixes the secular NVE
+        # energy loss of the geometric assembly at the cost of a pe-vjp
+        # per pair (~2x narrow-phase FLOPs). Composes with use_pallas
+        # (in-kernel vjp twin, parity-tested). See
+        # ops.contact.pair_elastic_grad / contact_pallas._make_kernel.
         self.conservative = bool(conservative)
-        if conservative and use_pallas:
-            raise ValueError(
-                'conservative mode is jnp-path only (the Pallas kernel '
-                'has no autodiff twin yet); set use_pallas=False'
-            )
         self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
         if neighbor_mode == "cell" and grid is None:
             raise ValueError("neighbor_mode='cell' requires a CellGrid")
@@ -114,19 +110,27 @@ class Simulation:
 
     def _build_list(self, state: State):
         cutoff = self.params.cutoff + self.params.skin
+        # The overflow channel is PER-SOURCE gated: a count contributes
+        # only when it exceeds its OWN capacity, so any nonzero overflow
+        # means physics was truncated somewhere (no source can hide
+        # below another source's larger cap).
         if self.neighbor_mode in ("allpairs", "static"):
             idx, mask, count = neighbor.allpairs_neighbors(
                 state.x, state.active, state.box_lo, state.box_hi,
                 cutoff, self.k_max, self.periodic, tilt=self._tilt(state),
             )
-            overflow = jnp.max(count)
-            return idx, mask, overflow
+            mx = jnp.max(count)
+            return idx, mask, jnp.where(mx > self.k_max, mx, 0)
         idx, mask, count, cell_ovf = neighbor.cell_list_neighbors(
             state.x, state.active, state.box_lo, state.box_hi, cutoff,
             self.grid.dims, self.cell_cap, self.k_max, self.periodic,
             tilt=self._tilt(state),
         )
-        return idx, mask, jnp.maximum(jnp.max(count), cell_ovf)
+        mx = jnp.max(count)
+        return idx, mask, jnp.maximum(
+            jnp.where(mx > self.k_max, mx, 0),
+            jnp.where(cell_ovf > self.cell_cap, cell_ovf, 0),
+        )
 
     def _rebuild(self, state: State, neigh: NeighborState):
         x, image = neighbor.wrap_positions(
@@ -254,10 +258,20 @@ class Simulation:
         """One VV step. rebuild: 'check' (lax.cond on the skin trigger),
         'always' (unconditional, static-cadence mode), 'never'."""
         state = integrate.initial_integrate(state, self.shapes, self.params)
-        state, x_build = integrate.apply_deformation(
-            state, neigh.x_build, self.params
+        state, x_build, _ = integrate.apply_deformation(
+            state, neigh.x_build, self.params, self.periodic
         )
         neigh = neigh.replace(x_build=x_build)
+        if self.triclinic:
+            # A tilt beyond L/2 on a non-flippable (non-periodic) axis
+            # breaks minimum_image's sequential image removal — fail
+            # loudly through the overflow channel (sentinel 1<<21).
+            L = state.box_hi - state.box_lo
+            bound = 0.5 * jnp.stack([L[0], L[0], L[1]])
+            bad = jnp.any(jnp.abs(state.tilt) > bound * (1 + 1e-6))
+            neigh = neigh.replace(overflow=jnp.maximum(
+                neigh.overflow, jnp.where(bad, jnp.int32(1 << 21), 0)
+            ))
         if rebuild == "check":
             state, neigh = self._maybe_rebuild(state, neigh)
         elif rebuild == "always":

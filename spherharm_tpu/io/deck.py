@@ -293,6 +293,10 @@ class DeckRunner:
         Referenced variables are resolved lazily (and cycles raise)."""
         py = expr.replace("^", "**").replace("&&", " and ").replace(
             "||", " or ")
+        # Builtins are stripped below, but dunder attribute access could
+        # still reach arbitrary code via `().__class__` chains — reject.
+        if "__" in py:
+            raise DeckError(f"illegal expression (dunder access): {expr!r}")
         env = {
             "__builtins__": {},
             "sqrt": math.sqrt, "exp": math.exp, "ln": math.log,
@@ -407,7 +411,12 @@ class DeckRunner:
         except ValueError:
             thens, elses = a[2:], []
         for cmdline in thens if cond else elses:
-            self.execute(cmdline)
+            # Propagate flow-command returns (jump's new program counter)
+            # so the canonical `if "..." then "jump SELF break"` loop
+            # break actually breaks (LAMMPS semantics).
+            nxt = self.execute(cmdline)
+            if nxt is not None:
+                return nxt
 
     # -- setup commands --------------------------------------------------
 

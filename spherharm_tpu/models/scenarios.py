@@ -190,6 +190,7 @@ def rotating_drum(
     rebuild_every: int = 0,
     exact_eval: bool | None = None,
     stage2_capacity: int = 0,
+    conservative: bool = False,
     dtype=jnp.float32,
 ):
     """Config 4: N polydisperse Lmax=8 particles in a rotating drum —
@@ -268,6 +269,7 @@ def rotating_drum(
         pair_capacity=pair_capacity, use_pallas=use_pallas,
         rebuild_every=rebuild_every, exact_eval=exact_eval,
         wall_capacity=wall_cap, stage2_capacity=stage2_capacity,
+        conservative=conservative,
     )
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh

@@ -160,8 +160,19 @@ def _orthobasis(e):
 
 
 def surface_probe(qi, si, type_i, qj, sj, type_j,
-                  rb_j, rm_i, rb_i, rc_j, d, shapes, exact: bool):
+                  rb_j, rm_i, rb_i, rc_j, d, shapes, exact: bool,
+                  incl: bool = True):
     """One-sided probe: i's cap-local surface nodes tested against j.
+
+    ``incl``: include the 1/cos(inclination) factor in the measure
+    (true surface area). Conservative mode uses ``incl=False`` (solid-
+    angle measure r^2 dOmega): ANY fixed smooth measure yields an
+    exactly conservative force when the PE is differentiated, and the
+    inclination-free measure needs only r and its FIRST angular
+    derivatives in the gradient — the property the hand-written Pallas
+    backward exploits. The depth-moment ratio S2/S1 (and with it the
+    overlap depth) is measure-normalized, so the physics difference is
+    O(patch tilt), negligible at contact overlaps.
 
     All args are per-pair (leading dim P); rb/rm/rc are the pre-scaled
     bounding / inscribed / characteristic radii (so no per-pair shape
@@ -185,7 +196,14 @@ def surface_probe(qi, si, type_i, qj, sj, type_j,
     # sphere of radius Rj at distance dist. Law of cosines, minimized over
     # the radial interval (optimum at rho* = sqrt(dist^2 - Rj^2)).
     Rj = rb_j
-    rho_star = jnp.sqrt(jnp.maximum(dist**2 - Rj**2, 0.0))
+    # Double-where sqrt guard: at dist < Rj the dead sqrt(0) branch
+    # otherwise NaNs the autodiff gradient of the whole pair (the
+    # conservative mode would silently zero the elastic force for
+    # deeply bounding-overlapping pairs).
+    rho2 = dist**2 - Rj**2
+    rho_star = jnp.where(
+        rho2 > 0, jnp.sqrt(jnp.where(rho2 > 0, rho2, 1.0)), 0.0
+    )
     rho_c = jnp.clip(rho_star, rm_i, rb_i)
     cos_gmax = (rho_c**2 + dist**2 - Rj**2) / jnp.maximum(
         2.0 * rho_c * dist, 1e-12
@@ -195,7 +213,9 @@ def surface_probe(qi, si, type_i, qj, sj, type_j,
     # Cap node directions in i's body frame: [P, Gc, 3].
     one_m = (1.0 - cos_gmax)[..., None]  # [P,1]
     cos_g = 1.0 - one_m * shapes.cap_x[None, :]
-    sin_g = jnp.sqrt(jnp.maximum(1.0 - cos_g**2, 0.0))
+    # Positive floor keeps the sqrt gradient finite at cos_g -> -1
+    # (full-sphere cap when the clip's -1 bound engages).
+    sin_g = jnp.sqrt(jnp.maximum(1.0 - cos_g**2, 1e-12))
     t1, t2 = _orthobasis(e_body)
     dirs = (
         cos_g[..., None] * e_body[..., None, :]
@@ -213,9 +233,12 @@ def surface_probe(qi, si, type_i, qj, sj, type_j,
         r_i, drt_i * si[..., None], drp_i * si[..., None],
         ct_i, st_i, cp_i, sp_i,
     )
-    cos_incl = jnp.clip(jnp.sum(n_i * dirs, axis=-1), 0.05, 1.0)
     w_solid = one_m * shapes.cap_glw[None, :]  # dOmega weights
-    dA = w_solid * r_i**2 / cos_incl
+    if incl:
+        cos_incl = jnp.clip(jnp.sum(n_i * dirs, axis=-1), 0.05, 1.0)
+        dA = w_solid * r_i**2 / cos_incl
+    else:
+        dA = w_solid * r_i**2
 
     # World positions (relative to x_i) and j-frame containment test.
     rel_i = quat_rotate(qi[..., None, :], r_i[..., None] * dirs)
@@ -317,14 +340,17 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
     rsum = rb_i + rb_j
     cull = pair_mask & (dist < rsum) & (dist > 1e-12)
 
-    # Both-sided probes (i's nodes in j, j's nodes in i).
+    # Both-sided probes (i's nodes in j, j's nodes in i). Conservative
+    # mode uses the inclination-free measure (see surface_probe) so the
+    # geometric aux (delta, centroid, normal) matches the PE gradient's
+    # measure — and the Pallas twin — exactly.
     s1a, s2a, c1, n1, dep1 = surface_probe(
         q_i, s_i, t_i, q_j, s_j, t_j, rb_j, rm_i, rb_i, rc_j,
-        d, shapes, exact
+        d, shapes, exact, incl=not conservative
     )
     s1b, s2b, c2, n2, dep2 = surface_probe(
         q_j, s_j, t_j, q_i, s_i, t_i, rb_i, rm_j, rb_j, rc_i,
-        -d, shapes, exact
+        -d, shapes, exact, incl=not conservative
     )
     s1 = s1a + s1b
     s2 = s2a + s2b
@@ -458,11 +484,11 @@ def _pair_elastic_pe(x_i, x_j, q_i, q_j, aux, shapes, params,
     cull = mask & (dist < rb_i + rb_j) & (dist > 1e-12)
     s1a, s2a, _, _, _ = surface_probe(
         q_i, s_i, t_i, q_j, s_j, t_j, rb_j, rm_i, rb_i, rc_j,
-        d, shapes, exact
+        d, shapes, exact, incl=False
     )
     s1b, s2b, _, _, _ = surface_probe(
         q_j, s_j, t_j, q_i, s_i, t_i, rb_i, rm_j, rb_j, rc_i,
-        -d, shapes, exact
+        -d, shapes, exact, incl=False
     )
     s1 = s1a + s1b
     s2 = s2a + s2b
@@ -818,7 +844,7 @@ def contact_force_pairs(state, shapes, params, neigh,
             sel2s = jnp.minimum(sel2, P - 1)
             out2 = contact_pallas.pair_contact_pallas(
                 packed[sel2s], ci[sel2s], cj[sel2s], cap, par,
-                lmax=shapes.lmax,
+                lmax=shapes.lmax, conservative=conservative,
             )
             out2 = jnp.where(ok2[:, None], out2, 0.0)
             out = (
@@ -827,7 +853,8 @@ def contact_force_pairs(state, shapes, params, neigh,
             )
         else:
             out = contact_pallas.pair_contact_pallas(
-                packed, ci, cj, cap, par, lmax=shapes.lmax
+                packed, ci, cj, cap, par, lmax=shapes.lmax,
+                conservative=conservative,
             )
         force = out[:, 0:3]
         torque = out[:, 3:6]

@@ -328,16 +328,211 @@ def _probe(col, ci_or_cj, pre, side, cap, lmax):
     return s1, s2, (cx, cy, cz), (nxs, nys, nzs)
 
 
-def _make_kernel(lmax: int):
+def _probe_cons(col, ci_or_cj, pre, side, cap, lmax):
+    """One-sided cap probe + HAND-DERIVED gradient integrals of the
+    depth moments (conservative mode).
+
+    The measure here is inclination-free, A = one_m * glw * r_a^2
+    (solid-angle element; see ops.contact.surface_probe(incl=False)):
+    with that choice the exact gradient of s_m = sum_k A_k depth_k^m
+    w.r.t. (d, world-rotation of a, world-rotation of b) needs only the
+    radius fields and their FIRST angular derivatives — all already in
+    the forward pass — so the backward is ~100 FLOPs/node of vector
+    algebra instead of a transposed ALP chain. (A jax.vjp-in-kernel
+    version was measured 80x slower: residuals of the unrolled chain
+    blow scoped VMEM; jax.checkpoint's remat2 doesn't lower in Mosaic.)
+
+    Derivation sketch (per node; reverse-mode with per-m accumulators):
+      depth D = max(r_b(u_hat) - rho, 0), u = R_b^T(rel - d),
+      rel = R_a(r_a dir), dir = cos_g e_b + sin_g (cpsi t1 + spsi t2),
+      e_b = R_a^T e_w, cos_g = 1 - one_m x_k, one_m = 1 - cos_gmax(dist).
+      dD = (g_b/rho - u_hat) . du  with g_b the tangent surface gradient;
+      du = R_b^T(d rel - dd) - R_b^T(dtheta_b x (rel - d)).
+    Returns (s1, s2, cen, nsum, grads) with grads[m] = (G_d, G_tha,
+    G_thb), each a component-3-tuple of [B,1] gradient integrals of
+    s_{m+1}; rotations are world-frame (torque = -omega . grad).
+    """
+    cap_x, cap_glw, cap_cpsi, cap_spsi = cap
+    if side == "ij":
+        q_a, q_b = pre["qi"], pre["qj"]
+        c_a, c_b = ci_or_cj
+        rb_b = col("rbj")
+        rm_a, rb_a = col("rmi"), col("rbi")
+        d3 = pre["d"]
+    else:
+        q_a, q_b = pre["qj"], pre["qi"]
+        c_b, c_a = ci_or_cj
+        rb_b = col("rbi")
+        rm_a, rb_a = col("rmj"), col("rbj")
+        d3 = tuple(-v for v in pre["d"])
+    dx, dy, dz = d3
+
+    dist = pre["dist"]
+    inv_dist = pre["inv_dist"]
+    e_w = (dx * inv_dist, dy * inv_dist, dz * inv_dist)
+    e_b = _rot_inv(q_a, e_w)
+
+    # cos_gmax(dist) with its analytic derivative (clip subgradients
+    # match jnp autodiff of the clipped forward).
+    rb2 = rb_b * rb_b
+    rho_star = jnp.sqrt(jnp.maximum(dist * dist - rb2, 0.0))
+    unclipped = (rho_star > rm_a) & (rho_star < rb_a)
+    rho_c = jnp.clip(rho_star, rm_a, rb_a)
+    cg_raw = (rho_c * rho_c + dist * dist - rb2) / jnp.maximum(
+        2.0 * rho_c * dist, 1e-12
+    )
+    cos_gmax = jnp.clip(cg_raw, -1.0, 1.0 - 1e-6)
+    cg_free = (cg_raw > -1.0) & (cg_raw < 1.0 - 1e-6)
+    inv_rcd = 1.0 / jnp.maximum(rho_c * dist * dist, 1e-30)
+    dcg_ddist = jnp.where(
+        unclipped,
+        rb2 * inv_rcd,
+        0.5 * (dist * dist - rho_c * rho_c + rb2) * inv_rcd,
+    )
+    dcg_ddist = jnp.where(cg_free, dcg_ddist, 0.0)
+
+    one_m = 1.0 - cos_gmax                      # [B,1]
+    cos_g = 1.0 - one_m * cap_x                 # [B,G]
+    sin_g = jnp.sqrt(jnp.maximum(1.0 - cos_g * cos_g, 1e-12))
+
+    # Orthobasis around e_b (h piecewise constant per pair).
+    ex, ey, ez = e_b
+    use_x = jnp.abs(ex) < 0.9
+    hx = jnp.where(use_x, 1.0, 0.0)
+    hy = jnp.where(use_x, 0.0, 1.0)
+    h3 = (hx, hy, jnp.zeros_like(hx))
+    tau3 = _cross3(e_b, h3)
+    inv_t1 = jax.lax.rsqrt(jnp.maximum(_dot3(tau3, tau3), 1e-24))
+    t1 = tuple(tau3[k] * inv_t1 for k in range(3))
+    t2 = _cross3(e_b, t1)
+
+    sc = sin_g * cap_cpsi
+    ss = sin_g * cap_spsi
+    dir3 = tuple(cos_g * e_b[k] + sc * t1[k] + ss * t2[k] for k in range(3))
+
+    ct_a, st_a, cp_a, sp_a = _unit_trig(*dir3)
+    r_a, drt_a, drp_a = _radius_grad_stream(c_a, ct_a, st_a, cp_a, sp_a,
+                                            lmax)
+    # Tangent surface gradient of r_a in a's body frame:
+    # g = drt * theta_hat + (drp / sin t) * phi_hat.
+    inv_st_a = 1.0 / jnp.maximum(st_a, 1e-6)
+    gpa = drp_a * inv_st_a
+    ga = (drt_a * ct_a * cp_a - gpa * sp_a,
+          drt_a * ct_a * sp_a + gpa * cp_a,
+          -drt_a * st_a)
+
+    glr2 = cap_glw * r_a * r_a
+    A = one_m * glr2                              # [B,G]
+    rel = _rot(q_a, tuple(r_a * dir3[k] for k in range(3)))
+    w3 = (rel[0] - dx, rel[1] - dy, rel[2] - dz)
+    u3 = _rot_inv(q_b, w3)
+    rho = jnp.sqrt(jnp.maximum(_dot3(u3, u3), 1e-24))
+    inv_rho = 1.0 / rho
+    uh = tuple(u3[k] * inv_rho for k in range(3))
+    ct_b, st_b, cp_b, sp_b = _unit_trig(*uh)
+    r_b, drt_b, drp_b = _radius_grad_stream(c_b, ct_b, st_b, cp_b, sp_b,
+                                            lmax)
+    inv_st_b = 1.0 / jnp.maximum(st_b, 1e-6)
+    gpb = drp_b * inv_st_b
+    gb = (drt_b * ct_b * cp_b - gpb * sp_b,
+          drt_b * ct_b * sp_b + gpb * cp_b,
+          -drt_b * st_b)
+
+    depth_raw = r_b - rho
+    inside = depth_raw > 0
+    D = jnp.maximum(depth_raw, 0.0)
+    wd = A * D
+    s1 = jnp.sum(wd, axis=1, keepdims=True)
+    s2 = jnp.sum(wd * D, axis=1, keepdims=True)
+    cen = tuple(jnp.sum(wd * rel[k], axis=1, keepdims=True)
+                for k in range(3))
+    nb = _surface_normal(r_b, drt_b, drp_b, ct_b, st_b, cp_b, sp_b)
+    nw = _rot(q_b, nb)
+    nsum = tuple(jnp.sum(wd * nw[k], axis=1, keepdims=True)
+                 for k in range(3))
+
+    # ---- gradient integrals (reverse pass, shared node vectors) ----
+    # dD propagates through u as cw . (d rel - dd + dtheta_b x w):
+    cw = _rot(q_b, tuple(gb[k] * inv_rho - uh[k] for k in range(3)))
+    crb = _rot_inv(q_a, cw)
+    crb_dot_dir = _dot3(crb, dir3)
+    rel_x_cw = _cross3(rel, cw)
+    cw_x_w = _cross3(cw, w3)
+    two_gl_r = 2.0 * one_m * cap_glw * r_a
+    cgs = cos_g / sin_g
+
+    grads = []
+    for al, be in ((D, jnp.where(inside, A, 0.0)),
+                   (D * D, 2.0 * wd)):
+        G_d = [-jnp.sum(be * cw[k], axis=1, keepdims=True)
+               for k in range(3)]
+        G_ta = [jnp.sum(be * rel_x_cw[k], axis=1, keepdims=True)
+                for k in range(3)]
+        G_tb = tuple(jnp.sum(be * cw_x_w[k], axis=1, keepdims=True)
+                     for k in range(3))
+        c_ra = al * two_gl_r + be * crb_dot_dir
+        cdir = tuple(be * r_a * crb[k] + c_ra * ga[k] for k in range(3))
+        cdir_dot_eb = _dot3(cdir, e_b)
+        cdir_dot_dir = _dot3(cdir, dir3)
+        cdir_dot_p = (cdir_dot_dir - cos_g * cdir_dot_eb) / sin_g
+        C_eb = [jnp.sum(cos_g * cdir[k], axis=1, keepdims=True)
+                for k in range(3)]
+        C_t1 = tuple(jnp.sum(sc * cdir[k], axis=1, keepdims=True)
+                     for k in range(3))
+        C_t2 = tuple(jnp.sum(ss * cdir[k], axis=1, keepdims=True)
+                     for k in range(3))
+        C_onem = jnp.sum(
+            al * glr2 - cap_x * (cdir_dot_eb - cgs * cdir_dot_p),
+            axis=1, keepdims=True,
+        )
+        # Pair-level chains ([B,1] algebra). Orthobasis backward:
+        # t2 = e x t1 -> c_eb += t1 x C_t2, c_t1 += C_t2 x e;
+        # t1 = normalize(e x h) -> c_tau = (I - t1 t1^T) c_t1 / |tau|,
+        # c_eb += h x c_tau.
+        ct1p = tuple(C_t1[k] + _cross3(C_t2, e_b)[k] for k in range(3))
+        t1_dot = _dot3(t1, ct1p)
+        c_tau = tuple((ct1p[k] - t1[k] * t1_dot) * inv_t1 for k in range(3))
+        t1_x_Ct2 = _cross3(t1, C_t2)
+        h_x_ctau = _cross3(h3, c_tau)
+        c_eb = tuple(C_eb[k] + t1_x_Ct2[k] + h_x_ctau[k] for k in range(3))
+        # e_b = R_a^T e_w: rotation-a picks up (R_a c_eb) x e_w; the
+        # e_w path flows to d through the normalized direction.
+        Rc = _rot(q_a, c_eb)
+        Rc_x_ew = _cross3(Rc, e_w)
+        for k in range(3):
+            G_ta[k] = G_ta[k] + Rc_x_ew[k]
+        ew_dot_Rc = _dot3(e_w, Rc)
+        for k in range(3):
+            G_d[k] = (G_d[k]
+                      + (Rc[k] - e_w[k] * ew_dot_Rc) * inv_dist
+                      - C_onem * dcg_ddist * e_w[k])
+        grads.append((tuple(G_d), tuple(G_ta), G_tb))
+
+    return s1, s2, cen, nsum, grads
+
+
+def _make_kernel(lmax: int, conservative: bool = False):
+    """Fused contact kernel. ``conservative=True`` replaces the geometric
+    elastic force/torques with the EXACT gradient of the sampled elastic
+    PE, via the hand-derived backward in _probe_cons (measure: incl-free,
+    twin of ops.contact.pair_elastic_grad with the same measure;
+    parity-tested)."""
+
     def kernel(pairs_ref, ci_ref, cj_ref, cap_ref, par_ref, out_ref):
+        # Materialize refs as values up front: jax.vjp cannot trace
+        # through stateful ref loads, and value slices compile the same.
+        pairs = pairs_ref[:, :]
+        ci = ci_ref[:, :]
+        cj = cj_ref[:, :]
+
         def col(name):
             lo, hi = _SLOTS[name]
             assert hi - lo == 1
-            return pairs_ref[:, lo:hi]
+            return pairs[:, lo:hi]
 
         def vec(name):
             lo, hi = _SLOTS[name]
-            return tuple(pairs_ref[:, c:c + 1] for c in range(lo, hi))
+            return tuple(pairs[:, c:c + 1] for c in range(lo, hi))
 
         cap = tuple(cap_ref[k:k + 1, :] for k in range(4))
 
@@ -352,11 +547,18 @@ def _make_kernel(lmax: int):
         rsum = col("rbi") + col("rbj")
         cull = (col("mask") > 0.5) & (dist < rsum) & (dist > 1e-12)
 
-        s1a, s2a, c1, n1 = _probe(col, (ci_ref, cj_ref), pre, "ij", cap, lmax)
-        s1b, s2b, c2, n2 = _probe(col, (ci_ref, cj_ref), pre, "ji", cap, lmax)
-
-        s1 = s1a + s1b
-        s2 = s2a + s2b
+        if conservative:
+            s1a, s2a, c1, n1, g_ij = _probe_cons(
+                col, (ci, cj), pre, "ij", cap, lmax)
+            s1b, s2b, c2, n2, g_ji = _probe_cons(
+                col, (ci, cj), pre, "ji", cap, lmax)
+            s1 = s1a + s1b
+            s2 = s2a + s2b
+        else:
+            s1a, s2a, c1, n1 = _probe(col, (ci, cj), pre, "ij", cap, lmax)
+            s1b, s2b, c2, n2 = _probe(col, (ci, cj), pre, "ji", cap, lmax)
+            s1 = s1a + s1b
+            s2 = s2a + s2b
         denom = jnp.maximum(s1, 1e-30)
         # c2 is relative to x_j; fold into i-relative via + s1b*d.
         cen = tuple(
@@ -459,15 +661,70 @@ def _make_kernel(lmax: int):
             jnp.where(in_contact, r_eff * n_x_fr[k], 0.0) for k in range(3)
         )
 
-        force = tuple(
-            jnp.where(in_contact, fn_mag * n_hat[k] + f_t[k], 0.0)
-            for k in range(3)
-        )
-        tq_c = _cross3(arm_i, force)
-        torque = tuple(tq_c[k] + tau_roll[k] for k in range(3))
-        neg_force = tuple(-force[k] for k in range(3))
-        tq_cj = _cross3(arm_j, neg_force)
-        torque_j = tuple(tq_cj[k] - tau_roll[k] for k in range(3))
+        if conservative:
+            # Exact-gradient elastic force/torques (twin of
+            # ops.contact.pair_elastic_grad with the incl-free measure).
+            # U = 0.4 kn sqrt(R) delta^2.5, delta = 1.5 s2/s1:
+            #   dU/ds2 = kn sqrt(R) delta^1.5 * 1.5/s1,
+            #   dU/ds1 = -(2/3) delta * dU/ds2.
+            # Weights are zeroed out of contact; the gradient integrals
+            # are guarded (no dead-branch NaNs), isfinite kept as belt.
+            coef_g = kn * jnp.sqrt(r_eff) * delta * jnp.sqrt(
+                jnp.maximum(delta, 0.0)
+            )
+            w2 = jnp.where(in_contact, coef_g * 1.5 / denom, 0.0)
+            w1 = -(2.0 / 3.0) * delta * w2
+
+            def comb_g(g, idx):
+                # w1 * grad(s1) + w2 * grad(s2) of one component set
+                # (idx: 0 = d, 1 = theta_a, 2 = theta_b).
+                return tuple(
+                    w1 * g[0][idx][k] + w2 * g[1][idx][k] for k in range(3)
+                )
+
+            def comb2(sel_ij, sel_ji, sgn):
+                a = comb_g(g_ij, sel_ij)
+                b = comb_g(g_ji, sel_ji)
+                return tuple(a[k] + sgn * b[k] for k in range(3))
+
+            # Side ij differentiates w.r.t. (d, th_i, th_j); side ji saw
+            # d' = -d and swapped roles (a=j): map back accordingly.
+            gU_d = comb2(0, 0, -1.0)
+            gU_thi = comb2(1, 2, +1.0)
+            gU_thj = comb2(2, 1, +1.0)
+            okf = jnp.ones_like(delta, dtype=bool)
+            for v in (*gU_d, *gU_thi, *gU_thj):
+                okf = okf & jnp.isfinite(v)
+            # U depends on x only through d = x_j - x_i: force on i is
+            # +dU/dd (dU/dx_i = -dU/dd); torque = -dU/dtheta.
+            f_el = tuple(jnp.where(okf, gU_d[k], 0.0) for k in range(3))
+            tau_ei = tuple(jnp.where(okf, -gU_thi[k], 0.0)
+                           for k in range(3))
+            tau_ej = tuple(jnp.where(okf, -gU_thj[k], 0.0)
+                           for k in range(3))
+            fn_damp = -(poly * m_eff * gn * vn_mag)
+            f_vis = tuple(
+                jnp.where(in_contact, fn_damp * n_hat[k] + f_t[k], 0.0)
+                for k in range(3)
+            )
+            force = tuple(f_el[k] + f_vis[k] for k in range(3))
+            tq_c = _cross3(arm_i, f_vis)
+            torque = tuple(tau_ei[k] + tq_c[k] + tau_roll[k]
+                           for k in range(3))
+            neg_vis = tuple(-f_vis[k] for k in range(3))
+            tq_cj = _cross3(arm_j, neg_vis)
+            torque_j = tuple(tau_ej[k] + tq_cj[k] - tau_roll[k]
+                             for k in range(3))
+        else:
+            force = tuple(
+                jnp.where(in_contact, fn_mag * n_hat[k] + f_t[k], 0.0)
+                for k in range(3)
+            )
+            tq_c = _cross3(arm_i, force)
+            torque = tuple(tq_c[k] + tau_roll[k] for k in range(3))
+            neg_force = tuple(-force[k] for k in range(3))
+            tq_cj = _cross3(arm_j, neg_force)
+            torque_j = tuple(tq_cj[k] - tau_roll[k] for k in range(3))
         pe = jnp.where(
             in_contact,
             0.4 * kn * jnp.sqrt(r_eff) * delta * delta * jnp.sqrt(delta),
@@ -645,14 +902,19 @@ def stage1_depth_pallas(packed, ci, cj, cap1, lmax: int, l1: int = 4,
     return out[:P, 0]
 
 
-@partial(jax.jit, static_argnames=("lmax", "block", "interpret"))
+@partial(jax.jit, static_argnames=("lmax", "block", "interpret",
+                                   "conservative"))
 def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
-                        block: int = 64, interpret: bool | None = None):
+                        block: int = 64, interpret: bool | None = None,
+                        conservative: bool = False):
     """Run the fused kernel. packed: [P, _F]; ci/cj: [P, NC] pre-scaled
     coefficient rows; cap: [4, G]; par: [1, 8]. Returns [P, _NOUT].
 
     interpret=None auto-selects: compiled on TPU, interpreter elsewhere
-    (so the full pipeline stays testable on the CPU mesh)."""
+    (so the full pipeline stays testable on the CPU mesh).
+
+    ``conservative=True`` evaluates the elastic force/torques as the
+    exact in-kernel vjp of the sampled PE (see _make_kernel)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     P = packed.shape[0]
@@ -665,7 +927,7 @@ def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
         ci = jnp.pad(ci, ((0, pad), (0, 0)))
         cj = jnp.pad(cj, ((0, pad), (0, 0)))
     out = pl.pallas_call(
-        _make_kernel(lmax),
+        _make_kernel(lmax, conservative),
         out_shape=jax.ShapeDtypeStruct((n_blocks * block, _NOUT),
                                        packed.dtype),
         grid=(n_blocks,),

@@ -70,7 +70,7 @@ def final_integrate(state, shapes, params):
     return state.replace(v=v, angmom=angmom)
 
 
-def apply_deformation(state, x_build, params):
+def apply_deformation(state, x_build, params, periodic=(False, False, False)):
     """Affine box deformation about the box center (fix deform analogue).
 
     Diagonal strain-rate control for the triaxial shear cell (config 5,
@@ -80,6 +80,17 @@ def apply_deformation(state, x_build, params):
     (d vx/dy, d vx/dz, d vy/dz) applies the matching affine velocity
     gradient and grows the triclinic tilt (fix deform xy/xz/yz with
     remap). Zero rates are an exact no-op.
+
+    Sustained shear flips the tilt back into the LAMMPS bound
+    |xy|,|xz| <= Lx/2 and |yz| <= Ly/2 (subtracting a whole box edge
+    vector — an exact relabeling of the periodic lattice) whenever the
+    shifted axis is periodic; minimum_image's sequential image removal
+    is only valid inside that bound. For non-periodic shift axes the
+    flip is not a lattice symmetry; callers flag |tilt| > L/2 through
+    the overflow channel instead (see Simulation._step_core).
+
+    Returns (state, x_build, flip): ``flip`` [3] is the whole-edge
+    multiple removed from each tilt component (zeros when no flip).
     """
     factor = 1.0 + params.deform_rate * params.dt  # [3]
     center = 0.5 * (state.box_lo + state.box_hi)
@@ -101,12 +112,31 @@ def apply_deformation(state, x_build, params):
     xb = shear(xb)
     # Tilt components are x-offsets (xy, xz) / a y-offset (yz): they
     # scale with the matching diagonal factor, then grow with the shear.
-    tilt = state.tilt * jnp.stack([factor[0], factor[0], factor[1]])
-    tilt = tilt + g * jnp.stack([L[1], L[2], L[2]])
+    # Shearing the cell vectors b=(xy,Ly,0), c=(xz,yz,Lz) by the same
+    # affine map as positions: xz picks up the g_xy * yz cross-term.
+    t = state.tilt * jnp.stack([factor[0], factor[0], factor[1]])
+    xy = t[0] + g[0] * L[1]
+    xz = t[1] + g[0] * t[2] + g[1] * L[2]
+    yz = t[2] + g[2] * L[2]
+    # LAMMPS tilt flip. yz flips by the b vector (needs periodic y) and
+    # drags xz along by -xy per flip (c' = c - b); xy/xz flip by the a
+    # vector (needs periodic x). Positions need no remap: wrap_positions
+    # re-wraps by whole lattice vectors of the CURRENT cell.
+    can_x = jnp.asarray(float(periodic[0]), t.dtype)
+    can_y = jnp.asarray(float(periodic[1]), t.dtype)
+    f_yz = jnp.round(yz / L[1]) * can_y
+    yz = yz - f_yz * L[1]
+    xz = xz - f_yz * xy
+    f_xy = jnp.round(xy / L[0]) * can_x
+    f_xz = jnp.round(xz / L[0]) * can_x
+    xy = xy - f_xy * L[0]
+    xz = xz - f_xz * L[0]
+    tilt = jnp.stack([xy, xz, yz])
+    flip = jnp.stack([f_xy, f_xz, f_yz])
     state = state.replace(
         x=x, box_lo=box_lo, box_hi=box_hi, tilt=tilt,
     )
-    return state, xb
+    return state, xb, flip
 
 
 def berendsen_box_control(state, x_build, params, virial, shapes):

@@ -438,9 +438,16 @@ class Brick2DSimulation(ShardedSimulation):
             ext, self.shapes, self.params, nidx, nmask, hist,
             owned & ext.active, self.pair_capacity, self.periodic_eff,
         )
+        # Per-source gating (see ShardedSimulation._rebuild): nonzero
+        # overflow always means some capacity was actually exceeded.
+        mx = jnp.max(count)
         overflow = jnp.maximum(
-            jnp.maximum(jnp.max(count), cell_ovf),
-            jnp.maximum(mig_ovf, halo_ovf),
+            jnp.maximum(jnp.where(mx > self.k_max, mx, 0),
+                        jnp.where(cell_ovf > self.cell_cap, cell_ovf, 0)),
+            jnp.maximum(
+                jnp.where(mig_ovf > self.migrate_cap, mig_ovf, 0),
+                jnp.where(halo_ovf > self.halo_cap, halo_ovf, 0),
+            ),
         )
         overflow = jnp.maximum(
             overflow, jnp.where(n_pairs > self.pair_capacity, n_pairs, 0)
@@ -458,6 +465,11 @@ class Brick2DSimulation(ShardedSimulation):
 
     def distribute(self, state_global: State, restart: dict | None = None):
         """Partition a global State into (ix, iy) brick blocks."""
+        if bool(np.any(np.asarray(state_global.tilt) != 0.0)):
+            raise ValueError(
+                "Brick2DSimulation does not support triclinic tilt — "
+                "use the 1D slab ShardedSimulation(triclinic=True)"
+            )
         P_ = self.n_shards
         x = np.asarray(state_global.x)
         active = np.asarray(state_global.active)

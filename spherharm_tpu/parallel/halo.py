@@ -180,8 +180,6 @@ class ShardedSimulation:
         self.wall_capacity = int(wall_capacity)
         self.stage2_capacity = int(stage2_capacity)
         self.conservative = bool(conservative)
-        if conservative and use_pallas:
-            raise ValueError('conservative mode is jnp-path only')
         # Triclinic slab decomposition: a y/z-crossing image shifts x by
         # the tilt, so raw-x halo membership must reach tilt_pad further
         # (set tilt_pad >= max |xy| + |xz| the run will see).
@@ -636,9 +634,16 @@ class ShardedSimulation:
             owned & ext.active, self.pair_capacity, self.periodic_eff,
             tilt=self._tilt(state),
         )
+        # Per-source gating: each count contributes only past its OWN
+        # capacity, so nonzero overflow always means truncated physics.
+        mx = jnp.max(count)
         overflow = jnp.maximum(
-            jnp.maximum(jnp.max(count), cell_ovf),
-            jnp.maximum(mig_ovf, halo_ovf),
+            jnp.maximum(jnp.where(mx > self.k_max, mx, 0),
+                        jnp.where(cell_ovf > self.cell_cap, cell_ovf, 0)),
+            jnp.maximum(
+                jnp.where(mig_ovf > self.migrate_cap, mig_ovf, 0),
+                jnp.where(halo_ovf > self.halo_cap, halo_ovf, 0),
+            ),
         )
         overflow = jnp.maximum(
             overflow, jnp.where(n_pairs > self.pair_capacity, n_pairs, 0)
@@ -722,10 +727,19 @@ class ShardedSimulation:
         (static cadence, skin violations counted), 'comm' (forward comm
         only — the between-rebuild steps of cadence mode)."""
         state = integrate.initial_integrate(state, self.shapes, self.params)
-        state, x_build = integrate.apply_deformation(
-            state, neigh.x_build, self.params
+        state, x_build, _ = integrate.apply_deformation(
+            state, neigh.x_build, self.params, self.periodic
         )
         neigh = neigh.replace(x_build=x_build)
+        if self.triclinic:
+            # Non-flippable tilt beyond the minimum-image bound: loud
+            # failure via the overflow channel (sentinel 1<<21).
+            L = state.box_hi - state.box_lo
+            bound = 0.5 * jnp.stack([L[0], L[0], L[1]])
+            bad = jnp.any(jnp.abs(state.tilt) > bound * (1 + 1e-6))
+            neigh = neigh.replace(overflow=jnp.maximum(
+                neigh.overflow, jnp.where(bad, jnp.int32(1 << 21), 0)
+            ))
         if rebuild == "check":
             disp2 = neighbor.max_displacement2(
                 state.x, neigh.x_build[: self.cap_local], state.active,

@@ -28,28 +28,33 @@ def check_finite(state, where: str = "") -> None:
 
 
 def audit_capacities(sim, neigh) -> dict:
-    """Report fixed-capacity headroom (neighbor K, pair slots, cells).
+    """Report fixed-capacity state (neighbor K, pair slots, cells).
 
-    Returns {name: (used, capacity)}; any used > capacity means physics
-    was silently truncated and capacities must be raised (SURVEY.md 7.1:
-    'overflow is detected and triggers a re-allocation with larger K').
+    The overflow channel is per-source gated: each count is folded in
+    only when it exceeds its OWN capacity, so the channel is 0 in a
+    healthy run and carries the exceeding count (or a 1<<20 / 1<<21
+    sentinel) when any capacity was breached (SURVEY.md 7.1: 'overflow
+    is detected and triggers a re-allocation with larger K').
     """
-    used = int(neigh.overflow)
+    ovf = int(neigh.overflow)
     report = {
-        "neighbor_or_cell_max": (used, sim.k_max),
+        "overflow_channel": (ovf, 0),
+        "k_max": sim.k_max,
     }
     if getattr(sim, "pair_capacity", 0):
-        report["pair_slots"] = (used, sim.pair_capacity)
+        report["pair_capacity"] = sim.pair_capacity
     return report
 
 
 def assert_no_overflow(sim, neigh) -> None:
+    """Raise if ANY fixed capacity was exceeded (gated channel != 0)."""
     ovf = int(neigh.overflow)
-    if hasattr(sim, "pair_capacity") and sim.pair_capacity:
-        if ovf > sim.pair_capacity:
-            raise RuntimeError(
-                f"pair capacity overflow: {ovf} > {sim.pair_capacity}"
-            )
+    if ovf != 0:
+        raise RuntimeError(
+            f"capacity overflow (gated channel = {ovf}): physics was "
+            "truncated — raise k_max / cell_cap / pair_capacity / "
+            "stage2_capacity / halo or migrate caps"
+        )
 
 
 def determinism_check(run_fn, make_inputs, n: int = 2) -> bool:

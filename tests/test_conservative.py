@@ -51,14 +51,16 @@ def test_conservative_mode_conserves_where_geometric_leaks():
     assert abs(err_auto) < 0.25 * abs(err_geom)
 
 
-def test_conservative_rejects_pallas():
+def test_conservative_composes_with_pallas():
+    """Round 3: conservative mode composes with the Pallas kernel (the
+    hand-derived in-kernel gradient; parity pinned in test_pallas.py)."""
     shapes = shapes_library.build_shapes(
         [shapes_library.sphere_coeffs(0.5, 0)], 0, contact_quad=(6, 12)
     )
     params = SimParams.create(dt=1e-4, kn=1e4, cutoff=1.1, skin=0.1)
-    with pytest.raises(ValueError, match="jnp-path only"):
-        Simulation(shapes, params, neighbor_mode="allpairs", k_max=1,
-                   conservative=True, use_pallas=True)
+    sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=1,
+                     conservative=True, use_pallas=True)
+    assert sim.conservative and sim.use_pallas
 
 
 @pytest.mark.slow

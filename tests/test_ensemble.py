@@ -33,7 +33,7 @@ def test_validate_helpers():
     sim, state, neigh = scenarios.two_body_collision()
     validate.check_finite(state, "initial")
     rep = validate.audit_capacities(sim, neigh)
-    assert "neighbor_or_cell_max" in rep
+    assert rep["overflow_channel"] == (0, 0)
     validate.assert_no_overflow(sim, neigh)
 
     bad = state.replace(v=state.v.at[0, 0].set(jnp.nan))
