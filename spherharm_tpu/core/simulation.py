@@ -169,12 +169,21 @@ class Simulation:
         return state, neigh
 
     def init_neighbors(self, state: State) -> tuple[State, NeighborState]:
-        """First build (the Verlet::setup analogue)."""
+        """First build + setup force pass (the Verlet::setup analogue).
+
+        Forces are filled at setup so the first step's initial
+        half-kick integrates f(t0) rather than zeros — the reference's
+        setup() runs the force computation before stepping, and the
+        sharded init does the same (states prepared with deep initial
+        overlaps diverge between the two paths otherwise).
+        """
         neigh = empty_neighbors(
             state.cap, self.k_max, len(self.walls), dtype=state.x.dtype,
             pair_cap=self.pair_capacity,
         )
-        return self._rebuild(state, neigh)
+        state, neigh = self._rebuild(state, neigh)
+        state, neigh, _ = self.compute_forces(state, neigh)
+        return state, neigh
 
     def _maybe_rebuild(self, state: State, neigh: NeighborState):
         if self.neighbor_mode == "static":

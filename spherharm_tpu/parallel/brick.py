@@ -1,34 +1,33 @@
-"""2D brick domain decomposition: x*y shard grid with two-phase halos.
+"""2D/3D brick domain decomposition with weighted per-axis bounds.
 
-Extends the 1D slab decomposition (halo.py) to a 2D brick over a mesh
-("x", "y") — the reference's ``Comm::set_proc_grid`` factorizes ranks
-into a 3D brick (SURVEY.md 2 B.6); two sharded axes already lift the
-1D scaling cap (shards <= box_x / (cutoff+skin)) to the product of two
-such caps, which covers every TPU pod slice size that matters.
+Extends the 1D slab decomposition (halo.py) to a brick over a device
+mesh ("x", "y"[, "z"]) — the reference's ``Comm::set_proc_grid``
+factorizes ranks into a 3D brick (SURVEY.md 2 B.6; 3.5). The classic
+multi-phase trick makes N-D exchange a composition of N 1D exchanges
+(exactly how the reference's 6-way brick exchange covers all 26
+neighbors):
 
-The classic two-phase trick makes 2D exchange a composition of two 1D
-exchanges (exactly how the reference's 6-way brick exchange covers all
-26 neighbors):
+  migrate:  move leavers one hop along x, THEN y, THEN z — a diagonal
+            migrant takes all phases within one rebuild.
+  halo:     phase k ships the axis-k faces of (owned + all ghosts of
+            earlier phases), so edge and corner ghosts ride the later
+            phases automatically.
+  forward:  re-gather each phase from the refreshed extended view of
+            the previous phases (ordering matters).
 
-  migrate:  move leavers one hop along x, THEN one hop along y —
-            a diagonal migrant takes both phases within one rebuild.
-  halo:     phase 1 ships x-face members of the OWNED set; phase 2
-            computes y-face membership over owned + x-ghosts, so corner
-            ghosts ride the second phase automatically.
-  forward:  re-gather x-ghosts from owned, rebuild the extended view,
-            re-gather y-ghosts from it (ordering matters).
+Extended row layout per shard: [owned cap_local | 2*halo_cap ghosts
+per sharded axis]. Everything downstream (binning windows, pair list,
+forces) is inherited from ShardedSimulation unchanged.
 
-Extended row layout per shard: [owned cap_local | x-ghosts 2*halo_cap |
-y-ghosts 2*halo_cap]. Everything downstream (binning windows, pair
-list, forces) is inherited from ShardedSimulation unchanged.
+Per-axis load balancing: ``bounds_frac`` maps each axis to weighted
+slab boundaries as fractions of the box (the LAMMPS `balance x/y/z
+weighted` analogue; compute with halo.balance_fracs per axis). Static
+per instance, like the 1D slabs.
 
-Not supported here (use the 1D slabs): triclinic tilt, weighted
-per-axis balancing.
+Not supported here (use the 1D slabs): triclinic tilt.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -41,17 +40,16 @@ from spherharm_tpu.parallel.halo import (
     COMM_FIELDS,
     GhostPack,
     ShardedSimulation,
-    _init_jit,
     _select_fill,
     empty_ghosts,
 )
 
 
-class Brick2DSimulation(ShardedSimulation):
-    """DEM sharded over a 2D ("x", "y") device mesh.
+class BrickSimulation(ShardedSimulation):
+    """DEM sharded over a 2D ("x","y") or 3D ("x","y","z") device mesh.
 
     Reuses ShardedSimulation's force/step/run machinery; overrides the
-    geometry, migration and ghost exchange for two sharded dims.
+    geometry, migration and ghost exchange for multiple sharded dims.
     """
 
     def __init__(
@@ -77,17 +75,25 @@ class Brick2DSimulation(ShardedSimulation):
         rebuild_every: int = 0,
         wall_capacity: int = 0,
         stage2_capacity: int = 0,
+        conservative: bool = False,
+        bounds_frac: dict | None = None,
     ):
-        if mesh.devices.ndim != 2 or mesh.axis_names != ("x", "y"):
+        if mesh.devices.ndim not in (2, 3) or mesh.axis_names != tuple(
+            "xyz"[: mesh.devices.ndim]
+        ):
             raise ValueError(
-                "Brick2DSimulation needs a 2D mesh with axes ('x', 'y')"
+                "BrickSimulation needs a 2D/3D mesh with axes "
+                "('x','y') or ('x','y','z')"
             )
         self.shapes = shapes
         self.params = params
         self.mesh = mesh
-        self.px, self.py = mesh.devices.shape
-        self.n_shards = self.px * self.py
-        self._axes = ("x", "y")
+        self._axes = mesh.axis_names
+        self.axis_sizes = dict(zip(self._axes, mesh.devices.shape))
+        self.px = self.axis_sizes["x"]
+        self.py = self.axis_sizes["y"]
+        self.pz = self.axis_sizes.get("z", 1)
+        self.n_shards = int(np.prod(mesh.devices.shape))
         self.cap_local = int(cap_local)
         self.halo_cap = int(halo_cap)
         self.migrate_cap = int(migrate_cap) or max(halo_cap // 2, 16)
@@ -106,39 +112,75 @@ class Brick2DSimulation(ShardedSimulation):
         self.stage2_capacity = int(stage2_capacity)
         self.triclinic = False
         self.tilt_pad = 0.0
-        self.conservative = False  # jnp-grad elastic mode: slabs only
+        self.conservative = bool(conservative)
 
         self.box_lo_np = np.asarray(box_lo, np.float64)
         self.box_hi_np = np.asarray(box_hi, np.float64)
         L = self.box_hi_np - self.box_lo_np
         cutoff_total = float(params.cutoff + params.skin)
         self.halo_depth = cutoff_total
-        self.slab_w = (L[0] / self.px, L[1] / self.py)
-        for d, (w, pn) in enumerate(zip(self.slab_w, (self.px, self.py))):
-            if pn > 1 and w < self.halo_depth:
+
+        # Weighted per-axis boundaries as fractions of the box (uniform
+        # by default); validated like halo.py's 1D bounds_frac.
+        bounds_frac = dict(bounds_frac or {})
+        self.bounds_frac = {}
+        for ax in self._axes:
+            n = self.axis_sizes[ax]
+            bf = np.asarray(
+                bounds_frac.pop(ax, np.linspace(0.0, 1.0, n + 1)),
+                np.float64,
+            )
+            if (bf.shape != (n + 1,) or bf[0] != 0.0 or bf[-1] != 1.0
+                    or np.any(np.diff(bf) <= 0)):
                 raise ValueError(
-                    f"axis {'xy'[d]}: brick width {w:.3g} < cutoff+skin "
-                    f"{self.halo_depth:.3g}: too many shards"
+                    f"bounds_frac[{ax!r}] must be increasing, length "
+                    f"n_{ax}+1, with ends 0 and 1"
                 )
-        # Static bin grid over the brick window + halo margins (z full).
+            self.bounds_frac[ax] = bf
+        if bounds_frac:
+            raise ValueError(f"bounds_frac for unknown axes: "
+                             f"{sorted(bounds_frac)}")
+        # Narrowest brick width per axis must still cover the halo.
+        self.slab_w = {}
+        for d, ax in enumerate(self._axes):
+            widths = np.diff(self.bounds_frac[ax]) * L[d]
+            self.slab_w[ax] = float(widths.min())
+            if self.axis_sizes[ax] > 1 and self.slab_w[ax] < self.halo_depth:
+                raise ValueError(
+                    f"axis {ax}: narrowest brick width "
+                    f"{self.slab_w[ax]:.3g} < cutoff+skin "
+                    f"{self.halo_depth:.3g}: too many shards (or too "
+                    "skewed a balance) for this box"
+                )
+        # Static bin grid over the brick window + halo margins; unsharded
+        # trailing dims span the full box. Cells must stay >= cutoff for
+        # the NARROWEST brick (wider bricks get larger cells — safe).
         bin_ext = np.array([
-            self.slab_w[0] + 2 * self.halo_depth,
-            self.slab_w[1] + 2 * self.halo_depth,
-            L[2],
+            (self.slab_w[ax] + 2 * self.halo_depth)
+            if ax in self._axes else L[d]
+            for d, ax in enumerate("xyz")
         ])
         dims = np.maximum(
             np.floor(float(deform_min) * bin_ext / cutoff_total).astype(int),
             1,
         )
         self.grid_dims = tuple(int(v) for v in dims)
-        # x/y images are explicit ghosts; only z min-images.
-        self.periodic_eff = (False, False, self.periodic[2])
+        # Sharded axes use explicit seam-shifted ghosts; only unsharded
+        # dims minimum-image.
+        self.periodic_eff = tuple(
+            self.periodic[d] and ("xyz"[d] not in self._axes)
+            for d in range(3)
+        )
 
     # -- layout ------------------------------------------------------------
 
     @property
+    def n_axes(self) -> int:
+        return len(self._axes)
+
+    @property
     def cap_ext(self) -> int:
-        return self.cap_local + 4 * self.halo_cap
+        return self.cap_local + 2 * self.halo_cap * self.n_axes
 
     def _is_sharded_leaf(self, leaf) -> bool:
         if leaf.ndim < 1 or leaf.shape[0] % self.n_shards != 0:
@@ -151,14 +193,14 @@ class Brick2DSimulation(ShardedSimulation):
 
     def _specs(self, tree):
         return jax.tree.map(
-            lambda leaf: P(("x", "y")) if self._is_sharded_leaf(leaf)
+            lambda leaf: P(self._axes) if self._is_sharded_leaf(leaf)
             else P(), tree,
         )
 
     # -- axis-parameterized primitives --------------------------------------
 
     def _ax_size(self, axis: str) -> int:
-        return self.px if axis == "x" else self.py
+        return self.axis_sizes[axis]
 
     def _ring(self, val, direction: str, axis: str):
         """ppermute one hop along one mesh axis."""
@@ -170,27 +212,29 @@ class Brick2DSimulation(ShardedSimulation):
         return jax.lax.ppermute(val, axis, perm)
 
     def _edges(self, state, axis: str):
-        """(lo, hi) of this shard's window along the axis' coordinate."""
-        dim = 0 if axis == "x" else 1
+        """(lo, hi) of this shard's window along the axis' coordinate
+        (weighted fractions of the CURRENT box, so deformation rescales
+        them automatically)."""
+        dim = "xyz".index(axis)
         idx = jax.lax.axis_index(axis)
-        n = self._ax_size(axis)
+        fr = jnp.asarray(self.bounds_frac[axis], state.x.dtype)
         L = state.box_hi[dim] - state.box_lo[dim]
-        w = L / n
-        lo = state.box_lo[dim] + idx * w
-        return lo, lo + w
+        lo = state.box_lo[dim] + fr[idx] * L
+        hi = state.box_lo[dim] + fr[idx + 1] * L
+        return lo, hi
 
     def _has_lo(self, axis: str):
-        dim = 0 if axis == "x" else 1
+        dim = "xyz".index(axis)
         return self.periodic[dim] | (jax.lax.axis_index(axis) > 0)
 
     def _has_hi(self, axis: str):
-        dim = 0 if axis == "x" else 1
+        dim = "xyz".index(axis)
         n = self._ax_size(axis)
         return self.periodic[dim] | (jax.lax.axis_index(axis) < n - 1)
 
     def _seam(self, axis: str, state):
         """Coordinate shift a SENT particle gets across the periodic seam."""
-        dim = 0 if axis == "x" else 1
+        dim = "xyz".index(axis)
         idx = jax.lax.axis_index(axis)
         n = self._ax_size(axis)
         L = state.box_hi[dim] - state.box_lo[dim]
@@ -214,7 +258,7 @@ class Brick2DSimulation(ShardedSimulation):
                      state):
         """Gather rows at send_idx, seam-shift the axis coordinate, and
         exchange both directions. Returns received field dict + active."""
-        dim = 0 if axis == "x" else 1
+        dim = "xyz".index(axis)
         sl, sr = self._seam(axis, state)
         H = self.halo_cap
         out = {}
@@ -231,14 +275,19 @@ class Brick2DSimulation(ShardedSimulation):
         ])
         return out, g_active
 
-    # -- migration (two phases) ---------------------------------------------
+    # -- migration (one phase per axis) --------------------------------------
 
     def _tgt_axis(self, state, axis: str):
-        dim = 0 if axis == "x" else 1
+        dim = "xyz".index(axis)
         n = self._ax_size(axis)
         L = state.box_hi[dim] - state.box_lo[dim]
         f = (state.x[:, dim] - state.box_lo[dim]) / L
-        return jnp.clip((f * n).astype(jnp.int32), 0, n - 1)
+        fr = jnp.asarray(self.bounds_frac[axis][1:-1], state.x.dtype)
+        # Weighted binning: count interior boundaries at or below f.
+        tgt = jnp.sum(
+            (f[:, None] >= fr[None, :]).astype(jnp.int32), axis=1
+        ) if n > 1 else jnp.zeros(f.shape, jnp.int32)
+        return jnp.clip(tgt, 0, n - 1)
 
     def _migrate_axis(self, state, neigh, axis: str):
         """One 1D migration phase along a mesh axis (halo.py's _migrate
@@ -285,16 +334,24 @@ class Brick2DSimulation(ShardedSimulation):
             for f in fields
         }
 
+        # Compact valid arrivals onto the free-slot prefix (recv_valid is
+        # two prefix-valid halves — see halo.py _migrate for rationale);
+        # an arrival beyond the free-slot count flags loudly.
         active = state.active & ~(go_left | go_right)
         free_idx, free_ok = _select_fill(~active, 2 * M)
-        place = recv_valid & free_ok
-        slot = jnp.where(place, free_idx, self.cap_local)
+        rank = jnp.where(recv_valid, jnp.cumsum(recv_valid) - 1, 2 * M - 1)
+        place = recv_valid & free_ok[rank]
+        slot_rows = free_idx[rank]
+        slot = jnp.where(place, slot_rows, self.cap_local)
+        mig_overflow = jnp.where(
+            jnp.any(recv_valid & ~place), jnp.int32(1 << 20), mig_overflow
+        )
 
         def scatter(field, val, sentinel=self.cap_local):
             pad = jnp.zeros((1,) + field.shape[1:], field.dtype)
             ext = jnp.concatenate([field, pad], axis=0)
             s = slot if sentinel == self.cap_local else jnp.where(
-                place, free_idx, sentinel
+                place, slot_rows, sentinel
             )
             return ext.at[s].set(val)[:-1]
 
@@ -315,21 +372,22 @@ class Brick2DSimulation(ShardedSimulation):
         return state, neigh, mig_overflow
 
     def _migrate(self, state, neigh):
-        state, neigh, ovf_x = self._migrate_axis(state, neigh, "x")
-        state, neigh, ovf_y = self._migrate_axis(state, neigh, "y")
-        return state, neigh, jnp.maximum(ovf_x, ovf_y)
+        ovf = jnp.asarray(0, jnp.int32)
+        for ax in self._axes:
+            state, neigh, o = self._migrate_axis(state, neigh, ax)
+            ovf = jnp.maximum(ovf, o)
+        return state, neigh, ovf
 
     # -- extended view -------------------------------------------------------
 
     def _extend(self, state: State, ghosts):
-        """owned + x-ghosts + y-ghosts into one extended State view."""
-        gx, gy = ghosts
-        n_g = 4 * self.halo_cap
+        """owned + per-axis ghosts into one extended State view."""
+        n_g = 2 * self.halo_cap * self.n_axes
         z3 = jnp.zeros((n_g, 3), state.x.dtype)
 
         def cat(f):
             return jnp.concatenate(
-                [getattr(state, f), getattr(gx, f), getattr(gy, f)]
+                [getattr(state, f)] + [getattr(g, f) for g in ghosts]
             )
 
         return state.replace(
@@ -346,61 +404,54 @@ class Brick2DSimulation(ShardedSimulation):
     def _owned_mask(self, dtype=bool):
         return jnp.concatenate([
             jnp.ones((self.cap_local,), bool),
-            jnp.zeros((4 * self.halo_cap,), bool),
+            jnp.zeros((2 * self.halo_cap * self.n_axes,), bool),
         ])
 
     # -- halo build / refresh ------------------------------------------------
 
     def _build_ghosts(self, state: State):
-        """Two-phase halo: x-faces of owned, then y-faces of owned+gx."""
+        """Multi-phase halo: axis-k faces of owned + earlier ghosts, so
+        edge/corner ghosts ride the later phases."""
         send_f = ("x", "v", "q", "angmom", "scale", "shtype", "tag")
-        # Phase 1: x.
-        sx_idx, sx_mask, ovf_x = self._membership(
-            state.x[:, 0], state.active, "x", state
-        )
-        fx = {f: getattr(state, f) for f in send_f}
-        rx, ax = self._ship_fields(
-            {f: fx[f][..., :] for f in send_f}, sx_idx, sx_mask, "x", state
-        )
-        gx = GhostPack(
-            x=rx["x"], v=rx["v"], q=rx["q"], angmom=rx["angmom"],
-            scale=rx["scale"], shtype=rx["shtype"], tag=rx["tag"],
-            active=ax, send_idx=sx_idx, send_mask=sx_mask,
-        )
-        # Phase 2: y over owned + x-ghosts (corners ride along).
-        exy = {
-            f: jnp.concatenate([getattr(state, f), getattr(gx, f)])
-            for f in send_f
-        }
-        act_xy = jnp.concatenate([state.active, gx.active])
-        sy_idx, sy_mask, ovf_y = self._membership(
-            exy["x"][:, 1], act_xy, "y", state
-        )
-        ry, ay = self._ship_fields(exy, sy_idx, sy_mask, "y", state)
-        gy = GhostPack(
-            x=ry["x"], v=ry["v"], q=ry["q"], angmom=ry["angmom"],
-            scale=ry["scale"], shtype=ry["shtype"], tag=ry["tag"],
-            active=ay, send_idx=sy_idx, send_mask=sy_mask,
-        )
-        return (gx, gy), jnp.maximum(ovf_x, ovf_y)
+        ext = {f: getattr(state, f) for f in send_f}
+        act = state.active
+        ghosts = []
+        ovf = jnp.asarray(0, jnp.int32)
+        for ax in self._axes:
+            dim = "xyz".index(ax)
+            s_idx, s_mask, o = self._membership(
+                ext["x"][:, dim], act, ax, state
+            )
+            recv, g_act = self._ship_fields(ext, s_idx, s_mask, ax, state)
+            g = GhostPack(
+                x=recv["x"], v=recv["v"], q=recv["q"],
+                angmom=recv["angmom"], scale=recv["scale"],
+                shtype=recv["shtype"], tag=recv["tag"],
+                active=g_act, send_idx=s_idx, send_mask=s_mask,
+            )
+            ghosts.append(g)
+            ovf = jnp.maximum(ovf, o)
+            ext = {
+                f: jnp.concatenate([ext[f], recv[f]]) for f in send_f
+            }
+            act = jnp.concatenate([act, g_act])
+        return tuple(ghosts), ovf
 
     def _forward_comm(self, state: State, neigh, ghosts):
-        """Per-step ghost refresh: x phase from owned, y phase from the
-        refreshed owned+x view (same routing as the last rebuild)."""
-        gx, gy = ghosts
+        """Per-step ghost refresh: each phase re-gathers from the
+        refreshed extended view of the previous phases (same routing as
+        the last rebuild)."""
         dyn = ("x", "v", "q", "angmom")
-        rx, _ = self._ship_fields(
-            {f: getattr(state, f) for f in dyn},
-            gx.send_idx, gx.send_mask, "x", state,
-        )
-        gx = gx.replace(x=rx["x"], v=rx["v"], q=rx["q"], angmom=rx["angmom"])
-        exy = {
-            f: jnp.concatenate([getattr(state, f), getattr(gx, f)])
-            for f in dyn
-        }
-        ry, _ = self._ship_fields(exy, gy.send_idx, gy.send_mask, "y", state)
-        gy = gy.replace(x=ry["x"], v=ry["v"], q=ry["q"], angmom=ry["angmom"])
-        return state, neigh, (gx, gy)
+        ext = {f: getattr(state, f) for f in dyn}
+        new_ghosts = []
+        for g, ax in zip(ghosts, self._axes):
+            recv, _ = self._ship_fields(ext, g.send_idx, g.send_mask, ax,
+                                        state)
+            g = g.replace(x=recv["x"], v=recv["v"], q=recv["q"],
+                          angmom=recv["angmom"])
+            new_ghosts.append(g)
+            ext = {f: jnp.concatenate([ext[f], recv[f]]) for f in dyn}
+        return state, neigh, tuple(new_ghosts)
 
     def _rebuild(self, state: State, neigh, ghosts, fold: bool = True):
         x, image = neighbor.wrap_positions(
@@ -414,14 +465,17 @@ class Brick2DSimulation(ShardedSimulation):
         ghosts, halo_ovf = self._build_ghosts(state)
         ext = self._extend(state, ghosts)
 
-        x_lo, x_hi = self._edges(state, "x")
-        y_lo, y_hi = self._edges(state, "y")
-        bin_lo = jnp.stack([
-            x_lo - self.halo_depth, y_lo - self.halo_depth, state.box_lo[2]
-        ])
-        bin_hi = jnp.stack([
-            x_hi + self.halo_depth, y_hi + self.halo_depth, state.box_hi[2]
-        ])
+        lo3, hi3 = [], []
+        for d, ax in enumerate("xyz"):
+            if ax in self._axes:
+                lo, hi = self._edges(state, ax)
+                lo3.append(lo - self.halo_depth)
+                hi3.append(hi + self.halo_depth)
+            else:
+                lo3.append(state.box_lo[d])
+                hi3.append(state.box_hi[d])
+        bin_lo = jnp.stack(lo3)
+        bin_hi = jnp.stack(hi3)
         cutoff = self.params.cutoff + self.params.skin
         owned = self._owned_mask()
         nidx, nmask, count, cell_ovf = neighbor.cell_list_neighbors(
@@ -464,25 +518,29 @@ class Brick2DSimulation(ShardedSimulation):
     # -- distribution --------------------------------------------------------
 
     def distribute(self, state_global: State, restart: dict | None = None):
-        """Partition a global State into (ix, iy) brick blocks."""
+        """Partition a global State into weighted brick blocks."""
         if bool(np.any(np.asarray(state_global.tilt) != 0.0)):
             raise ValueError(
-                "Brick2DSimulation does not support triclinic tilt — "
+                "brick decomposition does not support triclinic tilt — "
                 "use the 1D slab ShardedSimulation(triclinic=True)"
             )
         P_ = self.n_shards
         x = np.asarray(state_global.x)
         active = np.asarray(state_global.active)
         L = self.box_hi_np - self.box_lo_np
-        bx = np.clip(
-            ((x[:, 0] - self.box_lo_np[0]) / L[0] * self.px).astype(int),
-            0, self.px - 1,
-        )
-        by = np.clip(
-            ((x[:, 1] - self.box_lo_np[1]) / L[1] * self.py).astype(int),
-            0, self.py - 1,
-        )
-        block = bx * self.py + by
+        # Weighted per-axis block index; flat block id in mesh order
+        # (row-major over the mesh axes — matches P(("x","y","z"))
+        # sharding of a leading-axis concat).
+        block = np.zeros(x.shape[0], np.int64)
+        for ax in self._axes:
+            d = "xyz".index(ax)
+            f = (x[:, d] - self.box_lo_np[d]) / L[d]
+            interior = self.bounds_frac[ax][1:-1]
+            b = np.clip(
+                np.searchsorted(interior, f, side="right"),
+                0, self.axis_sizes[ax] - 1,
+            )
+            block = block * self.axis_sizes[ax] + b
         locals_ = []
         sels = []
         for p in range(P_):
@@ -551,9 +609,9 @@ class Brick2DSimulation(ShardedSimulation):
                 lambda a: jnp.concatenate([a] * P_, axis=0),
                 empty_ghosts(self.halo_cap, dtype),
             )
-            for _ in range(2)
+            for _ in range(self.n_axes)
         )
-        sharding = NamedSharding(self.mesh, P(("x", "y")))
+        sharding = NamedSharding(self.mesh, P(self._axes))
 
         def put(leaf):
             if self._is_sharded_leaf(leaf):
@@ -564,3 +622,12 @@ class Brick2DSimulation(ShardedSimulation):
         neigh = jax.tree.map(put, neigh)
         ghosts = jax.tree.map(put, ghosts)
         return st, neigh, ghosts
+
+
+class Brick2DSimulation(BrickSimulation):
+    """Back-compat alias: the 2D ("x","y") brick."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.n_axes != 2:
+            raise ValueError("Brick2DSimulation needs a 2D ('x','y') mesh")

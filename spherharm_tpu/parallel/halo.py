@@ -53,7 +53,8 @@ from spherharm_tpu.ops import contact, integrate, neighbor, walls as walls_mod
 COMM_FIELDS = ("x", "v", "q", "angmom", "scale", "shtype", "tag", "image")
 
 
-def balance_fracs(state_global, n_shards: int, min_frac: float = 0.0):
+def balance_fracs(state_global, n_shards: int, min_frac: float = 0.0,
+                  axis: int = 0):
     """Weighted slab boundaries for equal particle counts per shard.
 
     The LAMMPS ``balance x weighted`` analogue (SURVEY.md 2 B.6: the
@@ -62,6 +63,9 @@ def balance_fracs(state_global, n_shards: int, min_frac: float = 0.0):
     per-shard x-quantiles of the active particles, clamped so no slab
     is narrower than ``min_frac`` of the box (pass
     (cutoff + skin + tilt_pad) / Lx to keep every slab halo-legal).
+    ``axis`` selects the coordinate (0/1/2) — the brick decomposition
+    calls this once per sharded mesh axis to build its per-axis
+    ``bounds_frac`` dict.
     Rebalancing mid-run = gather_restart -> new sim with fresh fracs ->
     init(restart=...), a deliberate recompile-on-rebalance design (the
     decomposition is a static program constant; the reference also
@@ -69,9 +73,9 @@ def balance_fracs(state_global, n_shards: int, min_frac: float = 0.0):
     """
     x = np.asarray(state_global.x)
     act = np.asarray(state_global.active)
-    lo = float(np.asarray(state_global.box_lo)[0])
-    hi = float(np.asarray(state_global.box_hi)[0])
-    xf = np.clip((x[act, 0] - lo) / (hi - lo), 0.0, 1.0)
+    lo = float(np.asarray(state_global.box_lo)[axis])
+    hi = float(np.asarray(state_global.box_hi)[axis])
+    xf = np.clip((x[act, axis] - lo) / (hi - lo), 0.0, 1.0)
     qs = np.quantile(xf, np.linspace(0.0, 1.0, n_shards + 1))
     qs[0], qs[-1] = 0.0, 1.0
     if min_frac > 0.0:
@@ -508,16 +512,27 @@ class ShardedSimulation:
 
         # Deactivate leavers, then place arrivals into free slots. Writes
         # for unplaced arrivals are routed to a sacrificial pad row.
+        # recv_valid is TWO prefix-valid halves (left|right buffers), so
+        # pairing arrival i with free slot i would starve the second half
+        # whenever fewer than 2M slots are free: compact instead — the
+        # k-th VALID arrival takes the k-th free slot. An arrival beyond
+        # the free-slot count is a genuine cap_local overflow and is
+        # flagged through the overflow channel, never silently dropped.
         active = state.active & ~(go_left | go_right)
         free_idx, free_ok = _select_fill(~active, 2 * M)
-        place = recv_valid & free_ok
-        slot = jnp.where(place, free_idx, self.cap_local)
+        rank = jnp.where(recv_valid, jnp.cumsum(recv_valid) - 1, 2 * M - 1)
+        place = recv_valid & free_ok[rank]
+        slot_rows = free_idx[rank]
+        slot = jnp.where(place, slot_rows, self.cap_local)
+        mig_overflow = jnp.where(
+            jnp.any(recv_valid & ~place), jnp.int32(1 << 20), mig_overflow
+        )
 
         def scatter(field, val, sentinel=self.cap_local):
             pad = jnp.zeros((1,) + field.shape[1:], field.dtype)
             ext = jnp.concatenate([field, pad], axis=0)
             s = slot if sentinel == self.cap_local else jnp.where(
-                place, free_idx, sentinel
+                place, slot_rows, sentinel
             )
             return ext.at[s].set(val)[:-1]
 

@@ -1,5 +1,5 @@
-"""2D brick decomposition == single device (SURVEY.md 2 B.6: the
-reference's Comm::set_proc_grid brick; VERDICT r1 missing-7)."""
+"""Brick decomposition (2D/3D, weighted) == single device (SURVEY.md
+2 B.6/3.5: the reference's Comm::set_proc_grid brick)."""
 
 import jax
 import jax.numpy as jnp
@@ -11,7 +11,8 @@ from spherharm_tpu.core.simulation import Simulation
 from spherharm_tpu.core.state import SimParams
 from spherharm_tpu.models import scenarios, shapes_library
 from spherharm_tpu.ops.neighbor import CellGrid
-from spherharm_tpu.parallel.brick import Brick2DSimulation
+from spherharm_tpu.parallel.brick import Brick2DSimulation, BrickSimulation
+from spherharm_tpu.parallel.halo import balance_fracs
 
 pytestmark = pytest.mark.slow
 
@@ -119,6 +120,116 @@ def test_brick2d_migration_both_axes():
     by = np.clip(np.asarray(s.x)[:, 1] // (box / 2), 0, 1)
     blocks = {(int(a), int(b)) for a, b, ok in zip(bx, by, act) if ok}
     assert len(blocks) == 4
+
+
+def test_brick3d_matches_single_device():
+    """2x2x2 brick == single device per tag: the full 3D proc-grid of
+    the reference's Comm::set_proc_grid (SURVEY.md 3.5), with corner
+    ghosts riding the third halo phase and migration over all axes."""
+    shapes, params, state0, box = _setup(n=96, seed=7)
+    periodic = (True, True, True)
+
+    grid = CellGrid([0, 0, 0], [box] * 3, 1.5, periodic)
+    sim1 = Simulation(
+        shapes, params, periodic=periodic, neighbor_mode="cell",
+        grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+    )
+    s1, n1 = sim1.init_neighbors(state0)
+    s1, n1 = sim1.run(s1, n1, 120)
+    t1 = sim1.thermo(s1, n1)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("x", "y", "z"))
+    simb = BrickSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+        box_hi=(box, box, box), cap_local=96, halo_cap=64, migrate_cap=24,
+        periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+    )
+    sb, ngb, ghb = simb.init(state0)
+    sb, ngb, ghb = simb.run(sb, ngb, ghb, 120)
+    tb = simb.thermo(sb, ngb, ghb)
+    assert int(tb["neigh_overflow"]) == 0
+
+    xa, xb = _by_tag(s1, "x"), _by_tag(sb, "x")
+    va, vb = _by_tag(s1, "v"), _by_tag(sb, "v")
+    assert set(xa) == set(xb)
+    L = box
+    for t in xa:
+        dx = (xb[t] - xa[t] + L / 2) % L - L / 2
+        np.testing.assert_allclose(dx, 0.0, atol=2e-3,
+                                   err_msg=f"x tag {t}")
+        np.testing.assert_allclose(vb[t], va[t], atol=5e-3,
+                                   err_msg=f"v tag {t}")
+    assert float(tb["ke"]) == pytest.approx(float(t1["ke"]), rel=1e-3)
+    assert float(tb["etot"]) == pytest.approx(float(t1["etot"]), rel=1e-3)
+
+
+def test_brick_weighted_bounds_clustered():
+    """Weighted per-axis bounds (LAMMPS `balance x y weighted` on the
+    brick): a corner-clustered gas fits a cap_local that uniform 2x2
+    bricks would overflow, and still matches single device per tag."""
+    lmax = 2
+    rng = np.random.default_rng(11)
+    shapes = shapes_library.build_shapes(
+        [shapes_library.ellipsoid_coeffs(0.55, 0.45, 0.4, lmax)],
+        lmax, contact_quad=(6, 12),
+    )
+    box = 12.0
+    n = 96
+    # ~3/4 of particles clustered in the low-x low-y corner quadrant.
+    x = np.empty((n, 3))
+    nc = 72
+    x[:nc] = rng.uniform(0.5, 4.5, (nc, 3))
+    x[nc:] = rng.uniform(0.5, box - 0.5, (n - nc, 3))
+    v = rng.normal(size=(n, 3)) * 0.4
+    params = SimParams.create(dt=1e-3, kn=1e4, gamma_n=5.0, mu=0.3,
+                              cutoff=1.2, skin=0.3)
+    state0 = scenarios.make_state(x, [0, 0, 0], [box] * 3, v=v)
+
+    grid = CellGrid([0, 0, 0], [box] * 3, 1.5, (True,) * 3)
+    sim1 = Simulation(
+        shapes, params, periodic=(True,) * 3, neighbor_mode="cell",
+        grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+    )
+    s1, n1 = sim1.init_neighbors(state0)
+    # 60 steps: long enough for several migrations/rebuilds, short
+    # enough that f32 reduction-order divergence in the dense cluster
+    # stays below the per-tag tolerance.
+    s1, n1 = sim1.run(s1, n1, 60)
+
+    min_frac = (params.cutoff + params.skin) / box
+    bounds = {
+        ax: balance_fracs(state0, 2, min_frac=min_frac, axis=d)
+        for d, ax in enumerate(("x", "y"))
+    }
+    # Weighted cuts sit well below the uniform 0.5 midpoint.
+    assert bounds["x"][1] < 0.45 and bounds["y"][1] < 0.45
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    # cap_local=48: the uniform corner brick would hold ~72 > 48.
+    simb = BrickSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+        box_hi=(box,) * 3, cap_local=48, halo_cap=48, migrate_cap=24,
+        # Weighted cuts leave the WIDE brick with coarse bins (the bin
+        # grid is sized for the narrowest brick) — higher occupancy cap.
+        periodic=(True,) * 3, k_max=24, cell_cap=36, pair_capacity=512,
+        bounds_frac=bounds,
+    )
+    sb, ngb, ghb = simb.init(state0)
+    sb, ngb, ghb = simb.run(sb, ngb, ghb, 60)
+    tb = simb.thermo(sb, ngb, ghb)
+    assert int(tb["neigh_overflow"]) == 0
+    assert int(tb["n"]) == n
+
+    t1 = sim1.thermo(s1, n1)
+    assert float(tb["ke"]) == pytest.approx(float(t1["ke"]), rel=1e-3)
+    assert float(tb["etot"]) == pytest.approx(float(t1["etot"]), rel=1e-3)
+    xa, xb = _by_tag(s1, "x"), _by_tag(sb, "x")
+    assert set(xa) == set(xb)
+    for t in xa:
+        dx = (xb[t] - xa[t] + box / 2) % box - box / 2
+        np.testing.assert_allclose(dx, 0.0, atol=5e-3,
+                                   err_msg=f"x tag {t}")
 
 
 def test_brick2d_gather_restart_roundtrip(tmp_path):
