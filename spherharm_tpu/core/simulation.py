@@ -83,6 +83,15 @@ class Simulation:
         self.pair_chunk = int(pair_chunk)
         self.pair_capacity = int(pair_capacity)
         self.use_pallas = bool(use_pallas)
+        # Rebuild-time narrow-phase prefilter (contact.prefilter_pair_list):
+        # with a stage-2 capacity, the candidate pair list (pair_capacity
+        # slots, transient) is probed ONCE per rebuild and compacted to
+        # stage2_capacity near-contact pairs — the persistent per-step
+        # list. The per-step hot path then has no probe, no candidate
+        # pack, and smaller segment-sums. Correctness rests on the
+        # rotation-aware motion-budget trigger (neighbor.approach_ratio).
+        self.prefilter = bool(use_pallas) and int(stage2_capacity) > 0 \
+            and int(pair_capacity) > 0
         self.press_control = bool(press_control)
         self.rebuild_every = int(rebuild_every)
         self.wall_capacity = int(wall_capacity)
@@ -105,8 +114,45 @@ class Simulation:
 
     # -- neighbor handling ------------------------------------------------
 
+    @property
+    def pair_list_cap(self) -> int:
+        """Persistent pair-list capacity: the prefiltered (stage-2) cap
+        when the rebuild-time prefilter is on, else the candidate cap."""
+        return self.stage2_capacity if self.prefilter else self.pair_capacity
+
+    @property
+    def _window_steps(self) -> int:
+        """Expected steps between rebuilds: the motion-budget horizon of
+        the prefilter (static cadence: exactly rebuild_every; adaptive
+        trigger: an estimate — budgets are floored/capped, and the
+        per-step approach_ratio check keeps correctness regardless)."""
+        return self.rebuild_every if self.rebuild_every > 0 else 16
+
     def _tilt(self, state: State):
         return state.tilt if self.triclinic else None
+
+    def _stale(self, state: State, neigh: NeighborState):
+        """Rebuild trigger: True when the neighbor structures may no
+        longer be complete. Prefiltered pair list: any particle's
+        surface motion exceeded its recorded motion budget
+        (ops.neighbor.approach_ratio; the budget's skin/2 cap keeps the
+        candidate list's own Verlet guarantee). Plain candidate list:
+        max displacement beyond skin/2."""
+        if self.prefilter:
+            gmax_s = self.shapes.gmax[state.shtype] * state.scale
+            ratio = neighbor.approach_ratio(
+                state.x, neigh.x_build, state.q, neigh.q_build, gmax_s,
+                neigh.budget, state.active,
+                state.box_lo, state.box_hi, self.periodic,
+                tilt=self._tilt(state),
+            )
+            return ratio > 1.0
+        disp2 = neighbor.max_displacement2(
+            state.x, neigh.x_build, state.active,
+            state.box_lo, state.box_hi, self.periodic,
+            tilt=self._tilt(state),
+        )
+        return disp2 > (0.5 * self.params.skin) ** 2
 
     def _build_list(self, state: State):
         cutoff = self.params.cutoff + self.params.skin
@@ -150,7 +196,7 @@ class Simulation:
         )
         neigh = neigh.replace(
             idx=idx, mask=mask, hist=hist, neigh_tag=neigh_tag,
-            row_tag=state.tag, x_build=state.x,
+            row_tag=state.tag, x_build=state.x, q_build=state.q,
             overflow=jnp.maximum(neigh.overflow, overflow),
         )
         if self.pair_capacity > 0:
@@ -159,13 +205,24 @@ class Simulation:
                 state.active, self.pair_capacity, self.periodic,
                 tilt=self._tilt(state),
             )
-            neigh = neigh.replace(
-                overflow=jnp.maximum(
-                    neigh.overflow,
-                    jnp.where(n_pairs > self.pair_capacity, n_pairs, 0),
-                ),
-                **pair_fields,
+            overflow = jnp.maximum(
+                neigh.overflow,
+                jnp.where(n_pairs > self.pair_capacity, n_pairs, 0),
             )
+            if self.prefilter:
+                pair_fields, n_surv, budget = contact.prefilter_pair_list(
+                    state, self.shapes, self.params, pair_fields,
+                    self.stage2_capacity, self.k_max,
+                    window_steps=self._window_steps,
+                    periodic=self.periodic,
+                    tilt=self._tilt(state),
+                )
+                overflow = jnp.maximum(
+                    overflow,
+                    jnp.where(n_surv > self.stage2_capacity, n_surv, 0),
+                )
+                neigh = neigh.replace(budget=budget)
+            neigh = neigh.replace(overflow=overflow, **pair_fields)
         return state, neigh
 
     def init_neighbors(self, state: State) -> tuple[State, NeighborState]:
@@ -179,7 +236,7 @@ class Simulation:
         """
         neigh = empty_neighbors(
             state.cap, self.k_max, len(self.walls), dtype=state.x.dtype,
-            pair_cap=self.pair_capacity,
+            pair_cap=self.pair_list_cap,
         )
         state, neigh = self._rebuild(state, neigh)
         state, neigh, _ = self.compute_forces(state, neigh)
@@ -188,12 +245,7 @@ class Simulation:
     def _maybe_rebuild(self, state: State, neigh: NeighborState):
         if self.neighbor_mode == "static":
             return state, neigh
-        disp2 = neighbor.max_displacement2(
-            state.x, neigh.x_build, state.active,
-            state.box_lo, state.box_hi, self.periodic,
-            tilt=self._tilt(state),
-        )
-        need = disp2 > (0.5 * self.params.skin) ** 2
+        need = self._stale(state, neigh)
         return jax.lax.cond(
             need, lambda sn: self._rebuild(*sn), lambda sn: sn, (state, neigh)
         )
@@ -203,24 +255,17 @@ class Simulation:
     def compute_forces(self, state: State, neigh: NeighborState):
         """Fill f/tau; returns (state, neigh-with-updated-history, aux)."""
         if self.pair_capacity > 0:
-            f, tau, pair_hist, pe_pair, virial, n_s2 = (
+            f, tau, pair_hist, pe_pair, virial = (
                 contact.contact_force_pairs(
                     state, self.shapes, self.params, neigh,
                     exact=self.exact_eval, periodic=self.periodic,
                     chunk=self.pair_chunk or 16384,
                     use_pallas=self.use_pallas,
-                    stage2_cap=self.stage2_capacity,
                     tilt=self._tilt(state),
                     conservative=self.conservative,
                 )
             )
-            neigh = neigh.replace(
-                pair_hist=pair_hist,
-                overflow=jnp.maximum(
-                    neigh.overflow,
-                    jnp.where(n_s2 > max(self.stage2_capacity, 1), n_s2, 0),
-                ),
-            )
+            neigh = neigh.replace(pair_hist=pair_hist)
         else:
             f, tau, hist, pe_pair, virial = contact.contact_force_dense(
                 state, self.shapes, self.params, neigh,
@@ -287,12 +332,7 @@ class Simulation:
             # Record (don't branch on) skin violations: displacement
             # beyond skin/2 before this scheduled rebuild means the list
             # may have missed a contact — raise the cadence if nonzero.
-            disp2 = neighbor.max_displacement2(
-                state.x, neigh.x_build, state.active,
-                state.box_lo, state.box_hi, self.periodic,
-                tilt=self._tilt(state),
-            )
-            viol = (disp2 > (0.5 * self.params.skin) ** 2).astype(jnp.int32)
+            viol = self._stale(state, neigh).astype(jnp.int32)
             state, neigh = self._rebuild(state, neigh)
             neigh = neigh.replace(
                 skin_violations=neigh.skin_violations + viol

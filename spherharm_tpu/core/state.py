@@ -90,6 +90,19 @@ class Shapes:
     vol: jax.Array           # [T] volume (unit scale, unit density)
     inertia: jax.Array       # [T, 3] principal inertia (unit scale/density)
     density: jax.Array       # [T] mass density
+    # Power-basis (monomial) tables for the hot kernels (ops/sh_power.py):
+    # coefficients absorbed into per-type per-m Horner runs, ~3x fewer
+    # FLOPs per node than the streaming ALP chain. power_tbl1 is the
+    # l1-truncated r-only (A/B) table for the stage-1 containment probe;
+    # tail1 the conservative truncation bound sum_{l>l1}|c| * max|Y|.
+    l1: int = struct.field(pytree_node=False)   # stage-1 truncation degree
+    power_tbl: jax.Array     # [T, W(lmax)] full r/drt/drp Horner tables
+    power_tbl1: jax.Array    # [T, (l1+1)^2] stage-1 r-only tables
+    tail1: jax.Array         # [T] stage-1 truncation tail bound (unit scale)
+    # Max tangential surface gradient |grad_tang r| (unit scale): bounds
+    # the radial surface motion under body rotation (rotation-aware
+    # neighbor/prefilter skin trigger; 0 for spheres).
+    gmax: jax.Array          # [T]
 
     @property
     def n_types(self) -> int:
@@ -133,6 +146,14 @@ class NeighborState:
     row_tag: jax.Array    # [cap] int32 owner tag of each row at build time
     wall_hist: jax.Array  # [cap, W, HW] per-wall springs
     x_build: jax.Array  # [cap, 3] positions at build time (skin trigger)
+    q_build: jax.Array  # [cap, 4] orientations at build time (rotation-
+                        # aware trigger for the prefiltered pair list:
+                        # surface approach <= disp + gmax * rot_angle)
+    budget: jax.Array   # [cap] per-particle motion budget recorded by the
+                        # rebuild-time prefilter (contact.prefilter_pair_list):
+                        # the kept pair list stays complete while every
+                        # particle's surface motion <= its budget
+                        # (ops.neighbor.approach_ratio)
     overflow: jax.Array # int32: max candidate count seen (> K means trouble)
     skin_violations: jax.Array  # int32: times displacement exceeded skin/2
                                 # before a static-cadence rebuild fired
@@ -270,6 +291,8 @@ def empty_neighbors(cap: int, k_max: int, n_walls: int = 0,
         row_tag=jnp.zeros((cap,), jnp.int32),
         wall_hist=jnp.zeros((cap, max(n_walls, 1), HIST_W), dtype),
         x_build=jnp.zeros((cap, 3), dtype),
+        q_build=jnp.zeros((cap, 4), dtype).at[:, 0].set(1.0),
+        budget=jnp.zeros((cap,), dtype),
         overflow=jnp.asarray(0, jnp.int32),
         skin_violations=jnp.asarray(0, jnp.int32),
         pair_i=jnp.zeros((pair_cap,), jnp.int32),

@@ -193,6 +193,27 @@ def build_shapes(
 
     table = build_radius_table_np(coeffs, lmax, table_res[0], table_res[1])
 
+    # Power-basis Horner tables for the hot kernels (ops/sh_power.py);
+    # the stage-1 probe gets an l1-truncated r-only (A/B) table plus the
+    # conservative truncation tail bound (|Y_lm| <= sqrt((2l+1)/4pi)).
+    from spherharm_tpu.ops import sh_power
+
+    l1 = min(4, lmax)
+    power_tbl = sh_power.build_power_tables_np(coeffs, lmax)
+    coeffs_lo = coeffs[:, : n_coeffs(l1)]
+    power_tbl1 = sh_power.build_power_tables_np(coeffs_lo, l1)[
+        :, : n_coeffs(l1)
+    ]
+    ymax = math.sqrt((2 * lmax + 1) / (4.0 * math.pi))
+    tail1 = ymax * np.sum(np.abs(coeffs[:, n_coeffs(l1):]), axis=1)
+    # Max tangential surface gradient (rotation skin bound; 0 = sphere).
+    gt_fine = np.sqrt(
+        node_drt**2
+        + (node_drp / np.maximum(np.abs(np.sin(cq.theta[None, :])), 1e-3))
+        ** 2
+    )
+    gmax = gt_fine.max(axis=1) * 1.05
+
     f = lambda a: jnp.asarray(a, dtype)
     return Shapes(
         lmax=lmax,
@@ -219,4 +240,9 @@ def build_shapes(
         vol=f(vol),
         inertia=f(diag),
         density=f(density),
+        l1=l1,
+        power_tbl=f(power_tbl),
+        power_tbl1=f(power_tbl1),
+        tail1=f(tail1),
+        gmax=f(gmax),
     )

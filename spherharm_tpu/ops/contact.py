@@ -749,6 +749,131 @@ def build_pair_list(state, shapes, params, neigh_idx, neigh_mask, hist,
     return fields, n_pairs
 
 
+@partial(jax.jit, static_argnames=("keep_cap", "k_max", "window_steps",
+                                   "floor_frac", "periodic"))
+def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
+                        k_max: int, window_steps: int = 16,
+                        floor_frac: float = 0.25,
+                        periodic=(False, False, False), tilt=None):
+    """Rebuild-time narrow-phase prefilter: compact the bounding-sphere
+    candidate pair list down to pairs that can actually touch before the
+    next rebuild (the contact analogue of the Verlet skin).
+
+    Runs a FULL-basis f32 r-only containment probe ONCE per rebuild over
+    the candidate list (exactness is affordable at rebuild cadence; the
+    l1-truncation tail bound ~0.3 r for rough lmax=8 blobs would eat the
+    whole filter margin) and keeps pairs with probe depth above
+    ``-(0.08 * min rchar + b_i + b_j)`` where b_i is the particle's
+    MOTION BUDGET for the window:
+
+      b_i = clip(T (|v_i| + gmax_i |omega_i|) + slack,
+                 floor_frac * skin, skin / 2),
+      slack = T^2 (amax + gmax_i * alpmax)        (velocity growth),
+      T = window_steps * dt,
+      amax / alpmax = current max |f|/m + |g|, max |tau|/I.
+
+    The rebuild trigger (ops.neighbor.approach_ratio) fires when ANY
+    particle's |dx| + gmax * alpha exceeds ITS recorded b_i, so a pair's
+    surfaces close by at most b_i + b_j between rebuilds — resting
+    particles get tight budgets (small pair list), fast ones get
+    headroom (no rebuild storm); the skin/2 cap keeps the candidate
+    list's own Verlet guarantee intact. 0.08 rchar is the probe's
+    coarse-grid slack (unchanged from the per-step two-stage design).
+    Box deformation is assumed slow on the skin scale per window — the
+    same assumption the Verlet skin already makes.
+
+    The per-step force kernel then runs the FULL evaluation over this
+    compacted list with no per-step probe, pack-of-candidates, or
+    survivor gather. Returns (fields2 sized keep_cap, n_survivors,
+    budget [N]); n_survivors > keep_cap means dropped contacts —
+    overflow channel.
+    """
+    from spherharm_tpu.ops import contact_pallas
+
+    pi, pj = fields["pair_i"], fields["pair_j"]
+    P = pi.shape[0]
+    rows = particle_rows(state, shapes)
+    msk = (
+        fields["pair_valid"]
+        & (rows[pi, _RACT] > 0.5)
+        & (rows[pj, _RACT] > 0.5)
+    )
+    dp = minimum_image(
+        rows[pj][:, _RX] - rows[pi][:, _RX],
+        state.box_lo, state.box_hi, periodic, tilt,
+    )
+    packed, _, _, cap, _ = contact_pallas.pack_pairs(
+        state, shapes, params, pi, pj, msk, fields["pair_hist"], dp,
+        rows=rows,
+    )
+    tail_lo, _ = contact_pallas._SLOTS["tail"]
+    packed = packed.at[:, tail_lo].set(0.0)
+    nc_ab = (shapes.lmax + 1) ** 2  # A/B prefix of the power layout
+    ti_ab = shapes.power_tbl[state.shtype[pi], :nc_ab] \
+        * state.scale[pi][:, None]
+    tj_ab = shapes.power_tbl[state.shtype[pj], :nc_ab] \
+        * state.scale[pj][:, None]
+    depth = contact_pallas.stage1_depth_pallas(
+        packed, ti_ab, tj_ab, cap, lmax=shapes.lmax, l1=shapes.lmax,
+        bf16=False,
+    )
+
+    # Per-particle motion budgets (see docstring).
+    T = window_steps * params.dt
+    act = rows[:, _RACT] > 0.5
+    gmax_s = shapes.gmax[state.shtype] * state.scale
+    m = jnp.maximum(rows[:, _RM_], 1e-30)
+    speed = jnp.linalg.norm(rows[:, _RV], axis=-1)
+    omag = jnp.linalg.norm(rows[:, _ROM], axis=-1)
+    amax = jnp.max(jnp.where(
+        act, jnp.linalg.norm(state.f, axis=-1) / m, 0.0
+    )) + jnp.linalg.norm(params.gravity)
+    inert = shapes.inertia_of(state.shtype, state.scale)
+    alpmax = jnp.max(jnp.where(
+        act,
+        jnp.linalg.norm(state.tau, axis=-1)
+        / jnp.maximum(jnp.min(inert, axis=-1), 1e-30),
+        0.0,
+    ))
+    budget = jnp.clip(
+        T * (speed + gmax_s * omag) + T * T * (amax + gmax_s * alpmax),
+        floor_frac * params.skin,
+        0.5 * params.skin,
+    )
+    budget = jnp.where(act, budget, 0.0)
+
+    margin = 0.08 * jnp.min(shapes.rchar) + budget[pi] + budget[pj]
+    survive = msk & (depth > -margin)
+
+    n_surv = jnp.sum(survive.astype(jnp.int32))
+    pos = jnp.cumsum(survive.astype(jnp.int32)) - 1
+    tgt = jnp.where(survive & (pos < keep_cap), pos, keep_cap)
+    sel = (
+        jnp.full((keep_cap + 1,), P, jnp.int32)
+        .at[tgt].set(jnp.arange(P, dtype=jnp.int32), mode="drop")
+    )[:keep_cap]
+    ok = sel < P
+    sels = jnp.minimum(sel, P - 1)
+    N = state.cap
+    none = jnp.int32(N * k_max)  # build_pair_list's "no dense slot"
+    # Compaction preserves pair_i's ascending order (sel is increasing;
+    # the invalid tail routes to N-1 >= every slot), so the i-side
+    # segment-sum stays a sorted reduction.
+    pair_i = jnp.where(ok, pi[sels], N - 1)
+    pair_j = jnp.where(ok, pj[sels], N - 1)
+    fields2 = dict(
+        pair_i=pair_i,
+        pair_j=pair_j,
+        pair_valid=fields["pair_valid"][sels] & ok,
+        pair_both=fields["pair_both"][sels] & ok,
+        pair_hist=jnp.where(ok[:, None], fields["pair_hist"][sels], 0.0),
+        pair_sel=jnp.where(ok, fields["pair_sel"][sels], none),
+        pair_selj=jnp.where(ok, fields["pair_selj"][sels], none),
+        pair_jsort=jnp.argsort(pair_j).astype(jnp.int32),
+    )
+    return fields2, n_surv, budget
+
+
 def pair_hist_to_dense(neigh):
     """Scatter live pair springs back into the tag-keyed [N, K] layout.
 
@@ -771,28 +896,24 @@ def pair_hist_to_dense(neigh):
 
 
 @partial(jax.jit, static_argnames=("exact", "periodic", "chunk",
-                                   "use_pallas", "stage2_cap",
-                                   "conservative"))
+                                   "use_pallas", "conservative"))
 def contact_force_pairs(state, shapes, params, neigh,
                         exact: bool = False,
                         periodic=(False, False, False),
                         chunk: int = 16384,
                         use_pallas: bool = False,
-                        stage2_cap: int = 0, tilt=None,
+                        tilt=None,
                         conservative: bool = False):
     """Per-step force/torque over the stable pair list (the hot path).
 
-    No per-step broad phase, sort, or [N, K] traffic: two row-gathers,
-    the narrow-phase kernel, two sorted segment-sums per output. Springs
-    update in place in pair space.
+    No per-step broad phase, probe, sort, or [N, K] traffic: two
+    row-gathers, the narrow-phase kernel, two sorted segment-sums per
+    output. Springs update in place in pair space. With the rebuild-time
+    prefilter (prefilter_pair_list) the list already holds only
+    near-contact pairs, so the full kernel runs over every slot — the
+    per-step two-stage probe of rounds 1-2 moved to rebuild cadence.
 
-    ``stage2_cap > 0`` (Pallas path only) enables the two-stage narrow
-    phase: a cheap r-only containment probe on the coarse cap grid
-    (Shapes.cap1_*) finds the true contacts, and the full gradient
-    kernel runs only on (up to stage2_cap) survivors.
-
-    Returns (f [N,3], tau [N,3], pair_hist [Pc,HW], pe_total, virial,
-    n_stage2) — fold ``n_stage2 > stage2_cap`` into the overflow channel.
+    Returns (f [N,3], tau [N,3], pair_hist [Pc,HW], pe_total, virial).
     """
     N = state.cap
     pi, pj = neigh.pair_i, neigh.pair_j
@@ -805,7 +926,6 @@ def contact_force_pairs(state, shapes, params, neigh,
         & (rows_j[:, _RACT] > 0.5)
     )
     P = pi.shape[0]
-    n_stage2 = jnp.asarray(0, jnp.int32)
 
     if use_pallas:
         from spherharm_tpu.ops import contact_pallas
@@ -814,48 +934,14 @@ def contact_force_pairs(state, shapes, params, neigh,
             rows_j[:, _RX] - rows_i[:, _RX],
             state.box_lo, state.box_hi, periodic, tilt,
         )
-        packed, ci, cj, cap, par = contact_pallas.pack_pairs(
+        packed, ti, tj, cap, par = contact_pallas.pack_pairs(
             state, shapes, params, pi, pj, msk, neigh.pair_hist, dp,
             rows=rows,
         )
-        if stage2_cap and stage2_cap < P:
-            # Probe on the SAME 128-node lane-aligned cap grid as stage
-            # 2 (the 32-node coarse grid only fills 32 of 128 VPU lanes
-            # — measured SLOWER despite 4x fewer nodes), but with the
-            # basis truncated at l=4 + conservative tail bound inside
-            # the kernel (~5x fewer FLOPs/node than the gradient eval).
-            cap1 = jnp.stack([shapes.cap_x, shapes.cap_glw,
-                              shapes.cap_cpsi, shapes.cap_spsi], axis=0)
-            depth = contact_pallas.stage1_depth_pallas(
-                packed, ci, cj, cap1, lmax=shapes.lmax
-            )
-            # Conservative slack: the coarse grid underestimates the max
-            # node depth; anything this close to touching goes to stage 2.
-            margin = 0.08 * jnp.min(shapes.rchar)
-            survive = depth > -margin
-            n_stage2 = jnp.sum(survive.astype(jnp.int32))
-            pos = jnp.cumsum(survive.astype(jnp.int32)) - 1
-            tgt = jnp.where(survive & (pos < stage2_cap), pos, stage2_cap)
-            sel2 = (
-                jnp.full((stage2_cap + 1,), P, jnp.int32)
-                .at[tgt].set(jnp.arange(P, dtype=jnp.int32), mode="drop")
-            )[:stage2_cap]
-            ok2 = sel2 < P
-            sel2s = jnp.minimum(sel2, P - 1)
-            out2 = contact_pallas.pair_contact_pallas(
-                packed[sel2s], ci[sel2s], cj[sel2s], cap, par,
-                lmax=shapes.lmax, conservative=conservative,
-            )
-            out2 = jnp.where(ok2[:, None], out2, 0.0)
-            out = (
-                jnp.zeros((P + 1, out2.shape[1]), out2.dtype)
-                .at[jnp.where(ok2, sel2s, P)].set(out2, mode="drop")[:P]
-            )
-        else:
-            out = contact_pallas.pair_contact_pallas(
-                packed, ci, cj, cap, par, lmax=shapes.lmax,
-                conservative=conservative,
-            )
+        out = contact_pallas.pair_contact_pallas(
+            packed, ti, tj, cap, par, lmax=shapes.lmax,
+            conservative=conservative,
+        )
         force = out[:, 0:3]
         torque = out[:, 3:6]
         torque_j = out[:, 6:9]
@@ -917,4 +1003,4 @@ def contact_force_pairs(state, shapes, params, neigh,
     w_pe = jnp.where(msk & neigh.pair_both, 1.0, 0.5)
     pe_total = jnp.sum(pe * w_pe)
     virial = -jnp.einsum("p,pa,pb->ab", w_pe, d, force)
-    return f, tau, hist_new, pe_total, virial, n_stage2
+    return f, tau, hist_new, pe_total, virial

@@ -31,17 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spherharm_tpu.models.shapes_library import sh_index
-
-import os as _os
-
-# EXPERIMENTAL: run the stage-2 ALP gradient chain in bfloat16 with f32
-# accumulation downstream. CURRENTLY FAILS TO LOWER when enabled: Mosaic
-# rejects a bf16 comparison in the gradient chain ('Target does not
-# support this comparison', v5e, jax 0.9.0) — the r-only stage-1 chain
-# lowers fine (that one ships bf16 by default). Kept as the marker for
-# the round-3 attempt; default off costs nothing (trace-time branch).
-_S2_BF16 = _os.environ.get("SPHERHARM_S2_BF16", "0") == "1"
+from spherharm_tpu.ops import sh_power
 
 # Packed per-pair input layout [P, F].
 _F = 48  # padded width
@@ -51,6 +41,7 @@ _SLOTS = {
     "xj": (17, 20), "vj": (20, 23), "qj": (23, 27), "omj": (27, 30),
     "mj": (30, 31), "rbj": (31, 32), "rmj": (32, 33), "rcj": (33, 34),
     "hist": (34, 40), "mask": (40, 41), "d": (41, 44),
+    "tail": (44, 45),  # stage-1 truncation bound tail_i*s_i + tail_j*s_j
 }
 _NOUT = 24  # force 0:3, tau_i 3:6, tau_j 6:9, springs 9:15, pe 15, contact 16
 _NPAR = 16
@@ -87,110 +78,66 @@ def _cross3(a, b):
     )
 
 
-def _radius_grad_stream(coef_ref, cos_t, sin_t, cos_p, sin_p, lmax: int):
-    """Streaming (r, dr/dt, dr/dp) from trig components [B, G] (no
-    angle formation: Mosaic has no acos, and it saves transcendentals)."""
-    inv_sin = 1.0 / jnp.maximum(jnp.abs(sin_t), 1e-6) * jnp.sign(sin_t + 1e-30)
-    sq2 = math.sqrt(2.0)
+def _horner(tbl, off: int, n: int, ct):
+    """Horner eval of one [B, 1]-coefficient run against ct [B, G]."""
+    acc = tbl[:, off:off + 1]
+    for k in range(1, n):
+        acc = acc * ct + tbl[:, off + k:off + k + 1]
+    return acc
 
-    def coef(n, m):
-        return coef_ref[:, sh_index(n, m)][:, None]
 
-    r = jnp.zeros_like(cos_t)
-    drt = jnp.zeros_like(cos_t)
+def _radius_grad_power(tbl, cos_t, sin_t, cos_p, sin_p, lmax: int):
+    """(r, dr/dtheta, dr/dphi) from per-pair power-table rows [B, W].
+
+    Pure Horner + cos/sin(m phi) and sin^m recurrences on [B, G] planes
+    — ~3x fewer FLOPs than the streaming ALP chain, exactly the same
+    function (ops/sh_power.py builds the tables; parity pinned there).
+    The theta-derivative is polynomial at the poles: no 1/sin guard.
+    """
+    runs = sh_power.power_layout(lmax)["runs"]
+    A = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["A"]}
+    B = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["B"]}
+    At = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["At"]}
+    Bt = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["Bt"]}
+
+    r = A[0] + jnp.zeros_like(cos_t)
+    drt = sin_t * At[0]
     drp = jnp.zeros_like(cos_t)
-    c1, s1 = cos_p, sin_p
-    cos_m = jnp.ones_like(cos_t)
-    sin_m = jnp.zeros_like(cos_t)
-    P_mm = jnp.full_like(cos_t, 1.0 / math.sqrt(4.0 * math.pi))
-    for m in range(0, lmax + 1):
-        if m > 0:
-            P_mm = math.sqrt((2 * m + 1) / (2 * m)) * sin_t * P_mm
+    cos_m, sin_m = cos_p, sin_p
+    st_m1 = 1.0
+    for m in range(1, lmax + 1):
+        if m > 1:
             cos_m, sin_m = (
-                cos_m * c1 - sin_m * s1,
-                sin_m * c1 + cos_m * s1,
+                cos_m * cos_p - sin_m * sin_p,
+                sin_m * cos_p + cos_m * sin_p,
             )
-        P_nm1 = None
-        P_nm = P_mm
-        for n in range(m, lmax + 1):
-            if n > m:
-                if n == m + 1:
-                    P_new = math.sqrt(2 * m + 3) * cos_t * P_nm
-                else:
-                    a = math.sqrt((4 * n * n - 1) / (n * n - m * m))
-                    b = math.sqrt(
-                        ((2 * n + 1) / (2 * n - 3))
-                        * ((n - 1) ** 2 - m * m)
-                        / (n * n - m * m)
-                    )
-                    P_new = a * cos_t * P_nm - b * P_nm1
-                P_nm1, P_nm = P_nm, P_new
-            if n == 0:
-                dP = jnp.zeros_like(cos_t)
-            else:
-                term = n * cos_t * P_nm
-                if n - 1 >= m:
-                    e = math.sqrt((n * n - m * m) * (2 * n + 1) / (2 * n - 1))
-                    term = term - e * P_nm1
-                dP = term * inv_sin
-            if m == 0:
-                a0 = coef(n, 0)
-                r = r + a0 * P_nm
-                drt = drt + a0 * dP
-            else:
-                ac = sq2 * coef(n, m)
-                as_ = sq2 * coef(n, -m)
-                yc = P_nm * cos_m
-                ys = P_nm * sin_m
-                r = r + ac * yc + as_ * ys
-                drt = drt + (ac * cos_m + as_ * sin_m) * dP
-                drp = drp + m * (as_ * yc - ac * ys)
+        st_m = st_m1 * sin_t
+        r = r + st_m * (cos_m * A[m] + sin_m * B[m])
+        drt = drt + st_m1 * (cos_m * At[m] + sin_m * Bt[m])
+        drp = drp + m * st_m * (cos_m * B[m] - sin_m * A[m])
+        st_m1 = st_m
     return r, drt, drp
 
 
-def _radius_stream(coef_ref, cos_t, sin_t, cos_p, sin_p, lmax: int):
-    """Streaming r only (no gradients) — the stage-1 containment probe.
+def _radius_power_ab(tbl, cos_t, sin_t, cos_p, sin_p, lmax: int):
+    """r only from the A/B prefix of a power-table row (stage-1 probe).
 
-    ~40% of the FLOPs of _radius_grad_stream: the dP recurrence, the
-    gradient accumulations and the 1/sin(theta) guard all drop out."""
-    sq2 = math.sqrt(2.0)
-
-    def coef(n, m):
-        return coef_ref[:, sh_index(n, m)][:, None]
-
-    r = jnp.zeros_like(cos_t)
-    c1, s1 = cos_p, sin_p
-    cos_m = jnp.ones_like(cos_t)
-    sin_m = jnp.zeros_like(cos_t)
-    P_mm = jnp.full_like(cos_t, 1.0 / math.sqrt(4.0 * math.pi))
-    for m in range(0, lmax + 1):
-        if m > 0:
-            P_mm = math.sqrt((2 * m + 1) / (2 * m)) * sin_t * P_mm
+    The A and B runs are laid out first (ops/sh_power.power_layout), so
+    an l1-truncated [B, (l1+1)^2] table slice is self-contained."""
+    runs = sh_power.power_layout(lmax)["runs"]
+    A = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["A"]}
+    B = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["B"]}
+    r = A[0] + jnp.zeros_like(cos_t)
+    cos_m, sin_m = cos_p, sin_p
+    st_m = 1.0
+    for m in range(1, lmax + 1):
+        if m > 1:
             cos_m, sin_m = (
-                cos_m * c1 - sin_m * s1,
-                sin_m * c1 + cos_m * s1,
+                cos_m * cos_p - sin_m * sin_p,
+                sin_m * cos_p + cos_m * sin_p,
             )
-        P_nm1 = None
-        P_nm = P_mm
-        for n in range(m, lmax + 1):
-            if n > m:
-                if n == m + 1:
-                    P_new = math.sqrt(2 * m + 3) * cos_t * P_nm
-                else:
-                    a = math.sqrt((4 * n * n - 1) / (n * n - m * m))
-                    b = math.sqrt(
-                        ((2 * n + 1) / (2 * n - 3))
-                        * ((n - 1) ** 2 - m * m)
-                        / (n * n - m * m)
-                    )
-                    P_new = a * cos_t * P_nm - b * P_nm1
-                P_nm1, P_nm = P_nm, P_new
-            if m == 0:
-                r = r + coef(n, 0) * P_nm
-            else:
-                r = r + sq2 * P_nm * (
-                    coef(n, m) * cos_m + coef(n, -m) * sin_m
-                )
+        st_m = st_m * sin_t
+        r = r + st_m * (cos_m * A[m] + sin_m * B[m])
     return r
 
 
@@ -213,22 +160,23 @@ def _unit_trig(ux, uy, uz):
     return ct, st, ux * inv, uy * inv
 
 
-def _probe(col, ci_or_cj, pre, side, cap, lmax):
+def _probe(col, ti_or_tj, pre, side, cap, lmax):
     """One-sided cap probe. side='ij' probes i's nodes into j.
 
     col(name): [B,1] column getter; pre: dict of precomputed [B,1];
+    ti_or_tj: (t_i, t_j) power-table rows [B, W] (ops/sh_power.py);
     cap: (x, glw, cpsi, spsi) each [1, G]. Returns integrals (all [B,1])
     and the probe point components rel to the probing center [B,G].
     """
     if side == "ij":
         q_a, q_b = pre["qi"], pre["qj"]
-        c_a, c_b = ci_or_cj
+        t_a, t_b = ti_or_tj
         rb_b = col("rbj")
         rm_a, rb_a = col("rmi"), col("rbi")
         dx, dy, dz = pre["d"]
     else:
         q_a, q_b = pre["qj"], pre["qi"]
-        c_b, c_a = ci_or_cj
+        t_b, t_a = ti_or_tj
         rb_b = col("rbi")
         rm_a, rb_a = col("rmj"), col("rbj")
         dx, dy, dz = [-v for v in pre["d"]]
@@ -272,16 +220,8 @@ def _probe(col, ci_or_cj, pre, side, cap, lmax):
     dirz = cos_g * ez + sc * t1z + ss * t2z
 
     ct_a, st_a, cp_a, sp_a = _unit_trig(dirx, diry, dirz)
-    if _S2_BF16:
-        bt = jnp.bfloat16
-        r_a, drt_a, drp_a = (
-            v.astype(jnp.float32) for v in _radius_grad_stream(
-                c_a[:, :].astype(bt), ct_a.astype(bt), st_a.astype(bt),
-                cp_a.astype(bt), sp_a.astype(bt), lmax)
-        )
-    else:
-        r_a, drt_a, drp_a = _radius_grad_stream(
-            c_a, ct_a, st_a, cp_a, sp_a, lmax)
+    r_a, drt_a, drp_a = _radius_grad_power(
+        t_a, ct_a, st_a, cp_a, sp_a, lmax)
     na = _surface_normal(r_a, drt_a, drp_a, ct_a, st_a, cp_a, sp_a)
     cos_incl = jnp.clip(dirx * na[0] + diry * na[1] + dirz * na[2], 0.05, 1.0)
     w_solid = one_m * cap_glw
@@ -298,16 +238,8 @@ def _probe(col, ci_or_cj, pre, side, cap, lmax):
     ct_b, st_b, cp_b, sp_b = _unit_trig(
         u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho
     )
-    if _S2_BF16:
-        bt = jnp.bfloat16
-        r_b, drt_b, drp_b = (
-            v.astype(jnp.float32) for v in _radius_grad_stream(
-                c_b[:, :].astype(bt), ct_b.astype(bt), st_b.astype(bt),
-                cp_b.astype(bt), sp_b.astype(bt), lmax)
-        )
-    else:
-        r_b, drt_b, drp_b = _radius_grad_stream(
-            c_b, ct_b, st_b, cp_b, sp_b, lmax)
+    r_b, drt_b, drp_b = _radius_grad_power(
+        t_b, ct_b, st_b, cp_b, sp_b, lmax)
 
     # Depth-moment overlap integrals (see ops/contact.py: no containment
     # indicator — kink-free and lens-exact via delta = 1.5*S2/S1).
@@ -328,7 +260,7 @@ def _probe(col, ci_or_cj, pre, side, cap, lmax):
     return s1, s2, (cx, cy, cz), (nxs, nys, nzs)
 
 
-def _probe_cons(col, ci_or_cj, pre, side, cap, lmax):
+def _probe_cons(col, ti_or_tj, pre, side, cap, lmax):
     """One-sided cap probe + HAND-DERIVED gradient integrals of the
     depth moments (conservative mode).
 
@@ -355,13 +287,13 @@ def _probe_cons(col, ci_or_cj, pre, side, cap, lmax):
     cap_x, cap_glw, cap_cpsi, cap_spsi = cap
     if side == "ij":
         q_a, q_b = pre["qi"], pre["qj"]
-        c_a, c_b = ci_or_cj
+        t_a, t_b = ti_or_tj
         rb_b = col("rbj")
         rm_a, rb_a = col("rmi"), col("rbi")
         d3 = pre["d"]
     else:
         q_a, q_b = pre["qj"], pre["qi"]
-        c_b, c_a = ci_or_cj
+        t_b, t_a = ti_or_tj
         rb_b = col("rbi")
         rm_a, rb_a = col("rmj"), col("rbj")
         d3 = tuple(-v for v in pre["d"])
@@ -411,8 +343,8 @@ def _probe_cons(col, ci_or_cj, pre, side, cap, lmax):
     dir3 = tuple(cos_g * e_b[k] + sc * t1[k] + ss * t2[k] for k in range(3))
 
     ct_a, st_a, cp_a, sp_a = _unit_trig(*dir3)
-    r_a, drt_a, drp_a = _radius_grad_stream(c_a, ct_a, st_a, cp_a, sp_a,
-                                            lmax)
+    r_a, drt_a, drp_a = _radius_grad_power(t_a, ct_a, st_a, cp_a, sp_a,
+                                           lmax)
     # Tangent surface gradient of r_a in a's body frame:
     # g = drt * theta_hat + (drp / sin t) * phi_hat.
     inv_st_a = 1.0 / jnp.maximum(st_a, 1e-6)
@@ -430,8 +362,8 @@ def _probe_cons(col, ci_or_cj, pre, side, cap, lmax):
     inv_rho = 1.0 / rho
     uh = tuple(u3[k] * inv_rho for k in range(3))
     ct_b, st_b, cp_b, sp_b = _unit_trig(*uh)
-    r_b, drt_b, drp_b = _radius_grad_stream(c_b, ct_b, st_b, cp_b, sp_b,
-                                            lmax)
+    r_b, drt_b, drp_b = _radius_grad_power(t_b, ct_b, st_b, cp_b, sp_b,
+                                           lmax)
     inv_st_b = 1.0 / jnp.maximum(st_b, 1e-6)
     gpb = drp_b * inv_st_b
     gb = (drt_b * ct_b * cp_b - gpb * sp_b,
@@ -518,12 +450,12 @@ def _make_kernel(lmax: int, conservative: bool = False):
     twin of ops.contact.pair_elastic_grad with the same measure;
     parity-tested)."""
 
-    def kernel(pairs_ref, ci_ref, cj_ref, cap_ref, par_ref, out_ref):
-        # Materialize refs as values up front: jax.vjp cannot trace
-        # through stateful ref loads, and value slices compile the same.
+    def kernel(pairs_ref, ti_ref, tj_ref, cap_ref, par_ref, out_ref):
+        # Materialize refs as values up front (value slices compile the
+        # same as ref loads). ti/tj: power-table rows [B, W].
         pairs = pairs_ref[:, :]
-        ci = ci_ref[:, :]
-        cj = cj_ref[:, :]
+        ti = ti_ref[:, :]
+        tj = tj_ref[:, :]
 
         def col(name):
             lo, hi = _SLOTS[name]
@@ -549,14 +481,14 @@ def _make_kernel(lmax: int, conservative: bool = False):
 
         if conservative:
             s1a, s2a, c1, n1, g_ij = _probe_cons(
-                col, (ci, cj), pre, "ij", cap, lmax)
+                col, (ti, tj), pre, "ij", cap, lmax)
             s1b, s2b, c2, n2, g_ji = _probe_cons(
-                col, (ci, cj), pre, "ji", cap, lmax)
+                col, (ti, tj), pre, "ji", cap, lmax)
             s1 = s1a + s1b
             s2 = s2a + s2b
         else:
-            s1a, s2a, c1, n1 = _probe(col, (ci, cj), pre, "ij", cap, lmax)
-            s1b, s2b, c2, n2 = _probe(col, (ci, cj), pre, "ji", cap, lmax)
+            s1a, s2a, c1, n1 = _probe(col, (ti, tj), pre, "ij", cap, lmax)
+            s1b, s2b, c2, n2 = _probe(col, (ti, tj), pre, "ji", cap, lmax)
             s1 = s1a + s1b
             s2 = s2a + s2b
         denom = jnp.maximum(s1, 1e-30)
@@ -751,24 +683,20 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
     directions, or -1e9 for pairs failing the bounding-sphere cull. The
     caller keeps pairs with depth > -margin for the full stage-2 kernel.
 
-    The radius is evaluated with the basis TRUNCATED at ``l1`` (the
-    probe's whole cost is the ALP chain: 25 terms at l1=4 vs 81 at
-    lmax=8 is a ~3x FLOP cut). Truncation stays CONSERVATIVE by adding
-    a tail bound to the reported depth: |r_true - r_trunc| <=
-    sum_{l>l1} |c_lm| * max|Y_lm| with max|Y_lm| <= sqrt((2*lmax+1)/4pi)
-    for the fully-normalized real basis, so
-    depth_true <= depth_trunc + bound_i + bound_j (the node-position
+    The radius comes from the l1-TRUNCATED power table (Shapes.
+    power_tbl1 rows; ~(l1+1)^2/(lmax+1)^2 of the full-eval FLOPs).
+    Truncation stays CONSERVATIVE via the precomputed tail bound packed
+    into the "tail" column (Shapes.tail1: sum_{l>l1}|c_lm| * max|Y_lm|,
+    scaled per particle and summed over both sides; a node-position
     error bound_i propagates through rho one-to-one).
 
-    ``bf16``: run the ALP/trig chain in bfloat16 (the VPU's fast path)
-    and absorb the ~0.4%-per-term rounding into the additive margin
-    (2% of rb_i + rb_j — an order of magnitude above the observed
-    error); the probe stays a conservative bound."""
-    ymax = math.sqrt((2 * lmax + 1) / (4.0 * math.pi))
-    n_lo = (l1 + 1) ** 2
+    ``bf16``: run the Horner chain in bfloat16 (the VPU's fast path)
+    and absorb the rounding into an additive margin (2% of rb_i + rb_j
+    — an order of magnitude above the observed error); the probe stays
+    a conservative bound."""
     chain_dt = jnp.bfloat16 if bf16 else jnp.float32
 
-    def kernel(pairs_ref, ci_ref, cj_ref, cap_ref, out_ref):
+    def kernel(pairs_ref, ti_ref, tj_ref, cap_ref, out_ref):
         def col(name):
             lo, hi = _SLOTS[name]
             return pairs_ref[:, lo:hi]
@@ -820,7 +748,7 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
             diry = cos_g * ey + sc * t1y + ss * t2y
             dirz = cos_g * ez + sc * t1z + ss * t2z
             ct_a, st_a, cp_a, sp_a = _unit_trig(dirx, diry, dirz)
-            r_a = _radius_stream(
+            r_a = _radius_power_ab(
                 c_a[:, :].astype(chain_dt), ct_a.astype(chain_dt),
                 st_a.astype(chain_dt), cp_a.astype(chain_dt),
                 sp_a.astype(chain_dt), l1,
@@ -834,7 +762,7 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
             ct_b, st_b, cp_b, sp_b = _unit_trig(
                 u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho
             )
-            r_b = _radius_stream(
+            r_b = _radius_power_ab(
                 c_b[:, :].astype(chain_dt), ct_b.astype(chain_dt),
                 st_b.astype(chain_dt), cp_b.astype(chain_dt),
                 sp_b.astype(chain_dt), l1,
@@ -842,20 +770,22 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
             return jnp.max(r_b - rho, axis=1, keepdims=True)
 
         qi, qj = vec("qi"), vec("qj")
-        m_ij = side(qi, qj, ci_ref, cj_ref, col("rbj"), col("rmi"),
+        m_ij = side(qi, qj, ti_ref, tj_ref, col("rbj"), col("rmi"),
                     col("rbi"), d[0], d[1], d[2])
-        m_ji = side(qj, qi, cj_ref, ci_ref, col("rbi"), col("rmj"),
+        m_ji = side(qj, qi, tj_ref, ti_ref, col("rbi"), col("rmj"),
                     col("rbj"), -d[0], -d[1], -d[2])
-        depth = jnp.maximum(m_ij, m_ji)
-        if n_lo < ci_ref.shape[1]:
-            tail = ymax * (
-                jnp.sum(jnp.abs(ci_ref[:, n_lo:]), axis=1, keepdims=True)
-                + jnp.sum(jnp.abs(cj_ref[:, n_lo:]), axis=1, keepdims=True)
-            )
-            depth = depth + tail
+        depth = jnp.maximum(m_ij, m_ji) + col("tail")
         if bf16:
             depth = depth + 0.02 * rsum
-        depth = jnp.where(cull, depth, -1e9)
+        # Bounding-sphere-separated pairs are NOT probed (the cap
+        # geometry assumes dist < rsum) but still report a valid upper
+        # bound: surfaces sit inside the spheres, so true depth
+        # <= rsum - dist. This keeps REBUILD-CADENCE prefiltering sound
+        # for pairs that close into sphere contact within the window
+        # (per-step probing could cull them; the prefilter must not).
+        depth = jnp.where(dist < rsum, depth, rsum - dist)
+        alive = (col("mask") > 0.5) & (dist > 1e-12)
+        depth = jnp.where(alive, depth, -1e9)
         out_ref[:, :] = jnp.broadcast_to(depth, out_ref.shape)
 
     return kernel
@@ -863,34 +793,46 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
 
 @partial(jax.jit,
          static_argnames=("lmax", "l1", "block", "interpret", "bf16"))
-def stage1_depth_pallas(packed, ci, cj, cap1, lmax: int, l1: int = 4,
+def stage1_depth_pallas(packed, ti1, tj1, cap1, lmax: int, l1: int = 4,
                         block: int = 256, interpret: bool | None = None,
                         bf16: bool = True):
-    """Stage-1 probe over all pairs. Returns a conservative UPPER BOUND
-    on the max signed depth [P] (truncated-basis eval + tail bound +
-    bf16 rounding allowance)."""
+    """Stage-1 probe over all pairs. ti1/tj1: l1-truncated power-table
+    rows [P, (l1+1)^2] (pre-scaled); packed must carry the "tail" column
+    (truncation bound). Returns a conservative UPPER BOUND on the max
+    signed depth [P]."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     l1 = min(l1, lmax)
     P = packed.shape[0]
-    NC = ci.shape[1]
+    W1 = ti1.shape[1]
     G1 = cap1.shape[1]
     n_blocks = -(-P // block)
     pad = n_blocks * block - P
     if pad:
         packed = jnp.pad(packed, ((0, pad), (0, 0)))
-        ci = jnp.pad(ci, ((0, pad), (0, 0)))
-        cj = jnp.pad(cj, ((0, pad), (0, 0)))
+        ti1 = jnp.pad(ti1, ((0, pad), (0, 0)))
+        tj1 = jnp.pad(tj1, ((0, pad), (0, 0)))
+    # The FULL-basis f32 probe (the rebuild-cadence prefilter: l1 = lmax,
+    # W1 = 81 at lmax = 8) needs ~23M scoped VMEM at block 256 — past the
+    # default 16M cap but well inside the chip's VMEM. Raise the cap for
+    # the big-basis case instead of shrinking the block (the call is off
+    # the per-step hot path).
+    kw = {}
+    if W1 > 32 or not bf16:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        )
     out = pl.pallas_call(
         _make_stage1_kernel(lmax, l1, bf16),
+        **kw,
         out_shape=jax.ShapeDtypeStruct((n_blocks * block, 8), packed.dtype),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((block, _F), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, NC), lambda i: (i, 0),
+            pl.BlockSpec((block, W1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, NC), lambda i: (i, 0),
+            pl.BlockSpec((block, W1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, G1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -898,17 +840,18 @@ def stage1_depth_pallas(packed, ci, cj, cap1, lmax: int, l1: int = 4,
         out_specs=pl.BlockSpec((block, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(packed, ci, cj, cap1)
+    )(packed, ti1, tj1, cap1)
     return out[:P, 0]
 
 
 @partial(jax.jit, static_argnames=("lmax", "block", "interpret",
                                    "conservative"))
-def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
+def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
                         block: int = 64, interpret: bool | None = None,
                         conservative: bool = False):
-    """Run the fused kernel. packed: [P, _F]; ci/cj: [P, NC] pre-scaled
-    coefficient rows; cap: [4, G]; par: [1, 8]. Returns [P, _NOUT].
+    """Run the fused kernel. packed: [P, _F]; ti/tj: [P, W] pre-scaled
+    power-table rows (ops/sh_power.py); cap: [4, G]; par: [1, _NPAR].
+    Returns [P, _NOUT].
 
     interpret=None auto-selects: compiled on TPU, interpreter elsewhere
     (so the full pipeline stays testable on the CPU mesh).
@@ -918,25 +861,34 @@ def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     P = packed.shape[0]
-    NC = ci.shape[1]
+    W = ti.shape[1]
     G = cap.shape[1]
     n_blocks = -(-P // block)
     pad = n_blocks * block - P
     if pad:
         packed = jnp.pad(packed, ((0, pad), (0, 0)))
-        ci = jnp.pad(ci, ((0, pad), (0, 0)))
-        cj = jnp.pad(cj, ((0, pad), (0, 0)))
+        ti = jnp.pad(ti, ((0, pad), (0, 0)))
+        tj = jnp.pad(tj, ((0, pad), (0, 0)))
+    # The conservative (hand-derived-backward) kernel at block 64 with
+    # the power tables sits ~1% past the default 16M scoped-VMEM limit;
+    # raise the cap rather than halving the block (v5e has headroom).
+    kw = {}
+    if conservative:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024,
+        )
     out = pl.pallas_call(
         _make_kernel(lmax, conservative),
         out_shape=jax.ShapeDtypeStruct((n_blocks * block, _NOUT),
                                        packed.dtype),
         grid=(n_blocks,),
+        **kw,
         in_specs=[
             pl.BlockSpec((block, _F), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, NC), lambda i: (i, 0),
+            pl.BlockSpec((block, W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, NC), lambda i: (i, 0),
+            pl.BlockSpec((block, W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _NPAR), lambda i: (0, 0),
@@ -945,7 +897,7 @@ def pair_contact_pallas(packed, ci, cj, cap, par, lmax: int,
         out_specs=pl.BlockSpec((block, _NOUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(packed, ci, cj, cap, par)
+    )(packed, ti, tj, cap, par)
     return out[:P]
 
 
@@ -956,21 +908,30 @@ def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None):
     rb, rm, rc) match the per-side _SLOTS layout exactly, so each side is
     one contiguous row-gather + slice — no per-field gathers (the TPU
     gather-count lesson, see ops/contact.py).
+
+    Returns (packed [P, _F], ti, tj, cap, par): ti/tj are the pre-scaled
+    per-side POWER-TABLE rows [P, W] (ops/sh_power.py). The "tail"
+    column carries the scaled stage-1 truncation bound for both sides
+    (the stage-1 probe gathers its own l1-truncated tables).
     """
     from spherharm_tpu.ops import contact as contact_mod
 
     if rows is None:
         rows = contact_mod.particle_rows(state, shapes)
+    ti_t, tj_t = state.shtype[pi], state.shtype[pj]
+    si, sj = state.scale[pi], state.scale[pj]
     ri = rows[pi][:, :17].astype(jnp.float32)
     rj = rows[pj][:, :17].astype(jnp.float32)
+    tail = (shapes.tail1[ti_t] * si + shapes.tail1[tj_t] * sj)
     packed = jnp.concatenate(
         [ri, rj, hist.astype(jnp.float32),
-         mask.astype(jnp.float32)[:, None], d.astype(jnp.float32)],
+         mask.astype(jnp.float32)[:, None], d.astype(jnp.float32),
+         tail.astype(jnp.float32)[:, None]],
         axis=1,
     )
     packed = jnp.pad(packed, ((0, 0), (0, _F - packed.shape[1])))
-    ci = shapes.coeffs[state.shtype[pi]] * state.scale[pi][:, None]
-    cj = shapes.coeffs[state.shtype[pj]] * state.scale[pj][:, None]
+    ti = shapes.power_tbl[ti_t] * si[:, None]
+    tj = shapes.power_tbl[tj_t] * sj[:, None]
     cap = jnp.stack([shapes.cap_x, shapes.cap_glw, shapes.cap_cpsi,
                      shapes.cap_spsi], axis=0)
     z = jnp.zeros_like(params.dt)
@@ -979,4 +940,4 @@ def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None):
         params.mu, params.k_roll, params.gamma_roll, params.mu_roll,
         z, z, z, z, z, z, z,
     ])[None, :].astype(jnp.float32)
-    return packed, ci, cj, cap, par
+    return packed, ti, tj, cap, par

@@ -270,3 +270,51 @@ def max_displacement2(x, x_build, active, box_lo, box_hi, periodic,
     d = minimum_image(x - x_build, box_lo, box_hi, periodic, tilt)
     d2 = jnp.sum(d * d, axis=-1)
     return jnp.max(jnp.where(active, d2, 0.0))
+
+
+def surface_motion(x, x_build, q, q_build, gmax_s, active,
+                   box_lo, box_hi, periodic, tilt=None):
+    """Per-particle surface-motion bound since the last build.
+
+    A particle's surface moves by at most |dx| + gmax * alpha, where
+    alpha is the rotation angle since build and gmax the max tangential
+    surface gradient |grad_tang r| (radial surface motion bound under
+    rotation; exactly 0 for spheres, so spinning spheres contribute no
+    rotation term). gmax_s: per-particle scaled gmax
+    (shapes.gmax[type] * scale). Inactive rows report 0.
+    """
+    d = minimum_image(x - x_build, box_lo, box_hi, periodic, tilt)
+    disp = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    qdot = jnp.abs(jnp.sum(q * q_build, axis=-1))
+    # Quaternions may be unnormalized by a few ulp; clip for acos.
+    alpha = 2.0 * jnp.arccos(jnp.clip(qdot, 0.0, 1.0))
+    appr = disp + gmax_s * alpha
+    return jnp.where(active, appr, 0.0)
+
+
+def max_approach(x, x_build, q, q_build, gmax_s, active,
+                 box_lo, box_hi, periodic, tilt=None):
+    """Max per-particle surface motion since the last build (rotation-
+    aware analogue of max displacement; see surface_motion)."""
+    return jnp.max(surface_motion(x, x_build, q, q_build, gmax_s,
+                                  active, box_lo, box_hi, periodic, tilt))
+
+
+def approach_ratio(x, x_build, q, q_build, gmax_s, budget, active,
+                   box_lo, box_hi, periodic, tilt=None):
+    """Rebuild trigger for the PREFILTERED pair list: max over particles
+    of (surface motion since build) / (its recorded motion budget).
+
+    The prefilter (ops.contact.prefilter_pair_list) keeps a pair only if
+    its probed surface gap is below b_i + b_j, where b_i is the motion
+    budget recorded per particle at build time — so the kept list stays
+    complete exactly while every particle's surface motion remains
+    within its own budget. A value >= 1 means some particle exhausted
+    its budget: rebuild. Resting particles get tight budgets (small
+    lists); fast ones get headroom (no rebuild storm); the skin/2 cap on
+    b preserves the candidate list's own Verlet guarantee.
+    """
+    appr = surface_motion(x, x_build, q, q_build, gmax_s, active,
+                          box_lo, box_hi, periodic, tilt)
+    ratio = appr / jnp.maximum(budget, 1e-30)
+    return jnp.max(jnp.where(active, ratio, 0.0))

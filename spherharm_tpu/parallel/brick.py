@@ -110,6 +110,7 @@ class BrickSimulation(ShardedSimulation):
         self.rebuild_every = int(rebuild_every)
         self.wall_capacity = int(wall_capacity)
         self.stage2_capacity = int(stage2_capacity)
+        self.prefilter = bool(use_pallas) and int(stage2_capacity) > 0
         self.triclinic = False
         self.tilt_pad = 0.0
         self.conservative = bool(conservative)
@@ -188,7 +189,7 @@ class BrickSimulation(ShardedSimulation):
         per_dev = leaf.shape[0] // self.n_shards
         return per_dev in (
             self.cap_local, self.cap_ext, 2 * self.halo_cap,
-            self.pair_capacity,
+            self.pair_list_cap,
         )
 
     def _specs(self, tree):
@@ -492,6 +493,15 @@ class BrickSimulation(ShardedSimulation):
             ext, self.shapes, self.params, nidx, nmask, hist,
             owned & ext.active, self.pair_capacity, self.periodic_eff,
         )
+        n_surv = jnp.asarray(0, jnp.int32)
+        if self.prefilter:
+            pair_fields, n_surv, budget = contact.prefilter_pair_list(
+                ext, self.shapes, self.params, pair_fields,
+                self.stage2_capacity, self.k_max,
+                window_steps=self._window_steps,
+                periodic=self.periodic_eff,
+            )
+            neigh = neigh.replace(budget=budget)
         # Per-source gating (see ShardedSimulation._rebuild): nonzero
         # overflow always means some capacity was actually exceeded.
         mx = jnp.max(count)
@@ -506,10 +516,15 @@ class BrickSimulation(ShardedSimulation):
         overflow = jnp.maximum(
             overflow, jnp.where(n_pairs > self.pair_capacity, n_pairs, 0)
         )
+        if self.prefilter:
+            overflow = jnp.maximum(
+                overflow,
+                jnp.where(n_surv > self.stage2_capacity, n_surv, 0),
+            )
         overflow = jax.lax.pmax(overflow, self._axes)
         neigh = neigh.replace(
             idx=nidx, mask=nmask, hist=hist, neigh_tag=neigh_tag,
-            row_tag=ext.tag, x_build=ext.x,
+            row_tag=ext.tag, x_build=ext.x, q_build=ext.q,
             overflow=jnp.maximum(neigh.overflow, overflow),
             **pair_fields,
         )
@@ -579,7 +594,7 @@ class BrickSimulation(ShardedSimulation):
         )
         neigh = empty_neighbors(
             P_ * self.cap_ext, self.k_max, len(self.walls), dtype=dtype,
-            pair_cap=P_ * self.pair_capacity,
+            pair_cap=P_ * self.pair_list_cap,
         )
         if restart is not None:
             ce, K = self.cap_ext, self.k_max

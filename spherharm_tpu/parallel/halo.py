@@ -183,6 +183,10 @@ class ShardedSimulation:
         self.rebuild_every = int(rebuild_every)
         self.wall_capacity = int(wall_capacity)
         self.stage2_capacity = int(stage2_capacity)
+        # Rebuild-time narrow-phase prefilter (see core/simulation.py +
+        # contact.prefilter_pair_list): the persistent pair list is the
+        # stage-2 compaction of the candidate list.
+        self.prefilter = bool(use_pallas) and int(stage2_capacity) > 0
         self.conservative = bool(conservative)
         # Triclinic slab decomposition: a y/z-crossing image shifts x by
         # the tilt, so raw-x halo membership must reach tilt_pad further
@@ -322,7 +326,7 @@ class ShardedSimulation:
         )
         neigh = empty_neighbors(
             P_ * self.cap_ext, self.k_max, len(self.walls), dtype=dtype,
-            pair_cap=P_ * self.pair_capacity,
+            pair_cap=P_ * self.pair_list_cap,
         )
         if restart is not None:
             # Seed the durable tag-keyed layout in the EXT row space
@@ -579,6 +583,41 @@ class ShardedSimulation:
             jnp.zeros((2 * self.halo_cap,), bool),
         ])
 
+    @property
+    def pair_list_cap(self) -> int:
+        """Persistent per-shard pair-list capacity (the prefiltered
+        stage-2 cap when the rebuild-time prefilter is on)."""
+        return (self.stage2_capacity if self.prefilter
+                else self.pair_capacity)
+
+    @property
+    def _window_steps(self) -> int:
+        """Motion-budget horizon of the prefilter (see
+        core.Simulation._window_steps)."""
+        return self.rebuild_every if self.rebuild_every > 0 else 16
+
+    def _stale(self, state, neigh):
+        """pmax'd rebuild trigger (see core.Simulation._stale): budget-
+        ratio check for the prefiltered pair list (each shard checks its
+        OWNED rows — ghosts are re-checked by their owner), plain
+        skin/2 displacement otherwise."""
+        if self.prefilter:
+            gmax_s = self.shapes.gmax[state.shtype] * state.scale
+            ratio = neighbor.approach_ratio(
+                state.x, neigh.x_build[: self.cap_local], state.q,
+                neigh.q_build[: self.cap_local], gmax_s,
+                neigh.budget[: self.cap_local], state.active,
+                state.box_lo, state.box_hi, self.periodic,
+                tilt=self._tilt(state),
+            )
+            return jax.lax.pmax(ratio, self._axes) > 1.0
+        disp2 = neighbor.max_displacement2(
+            state.x, neigh.x_build[: self.cap_local], state.active,
+            state.box_lo, state.box_hi, self.periodic,
+            tilt=self._tilt(state),
+        )
+        return jax.lax.pmax(disp2, self._axes) > (0.5 * self.params.skin) ** 2
+
     def _tilt(self, state: State):
         return state.tilt if self.triclinic else None
 
@@ -649,6 +688,16 @@ class ShardedSimulation:
             owned & ext.active, self.pair_capacity, self.periodic_eff,
             tilt=self._tilt(state),
         )
+        n_surv = jnp.asarray(0, jnp.int32)
+        if self.prefilter:
+            pair_fields, n_surv, budget = contact.prefilter_pair_list(
+                ext, self.shapes, self.params, pair_fields,
+                self.stage2_capacity, self.k_max,
+                window_steps=self._window_steps,
+                periodic=self.periodic_eff,
+                tilt=self._tilt(state),
+            )
+            neigh = neigh.replace(budget=budget)
         # Per-source gating: each count contributes only past its OWN
         # capacity, so nonzero overflow always means truncated physics.
         mx = jnp.max(count)
@@ -663,10 +712,15 @@ class ShardedSimulation:
         overflow = jnp.maximum(
             overflow, jnp.where(n_pairs > self.pair_capacity, n_pairs, 0)
         )
+        if self.prefilter:
+            overflow = jnp.maximum(
+                overflow,
+                jnp.where(n_surv > self.stage2_capacity, n_surv, 0),
+            )
         overflow = jax.lax.pmax(overflow, self._axes)
         neigh = neigh.replace(
             idx=nidx, mask=nmask, hist=hist, neigh_tag=neigh_tag,
-            row_tag=ext.tag, x_build=ext.x,
+            row_tag=ext.tag, x_build=ext.x, q_build=ext.q,
             overflow=jnp.maximum(neigh.overflow, overflow),
             **pair_fields,
         )
@@ -681,24 +735,17 @@ class ShardedSimulation:
 
     def _forces(self, state: State, neigh: NeighborState, ghosts: GhostPack):
         ext = self._extend(state, ghosts)
-        f, tau, pair_hist, pe_pair, virial, n_s2 = (
+        f, tau, pair_hist, pe_pair, virial = (
             contact.contact_force_pairs(
                 ext, self.shapes, self.params, neigh,
                 exact=self.exact_eval,
                 periodic=self.periodic_eff, chunk=self.pair_chunk,
                 use_pallas=self.use_pallas,
-                stage2_cap=self.stage2_capacity,
                 tilt=self._tilt(state),
                 conservative=self.conservative,
             )
         )
-        neigh = neigh.replace(
-            pair_hist=pair_hist,
-            overflow=jnp.maximum(
-                neigh.overflow,
-                jnp.where(n_s2 > max(self.stage2_capacity, 1), n_s2, 0),
-            ),
-        )
+        neigh = neigh.replace(pair_hist=pair_hist)
         # Reactions onto ghost rows are intentionally dropped here: those
         # pairs are one-sided (pair_both=False); the ghost's owner shard
         # evaluates its own copy (Newton-off, SURVEY.md 3.5).
@@ -756,13 +803,7 @@ class ShardedSimulation:
                 neigh.overflow, jnp.where(bad, jnp.int32(1 << 21), 0)
             ))
         if rebuild == "check":
-            disp2 = neighbor.max_displacement2(
-                state.x, neigh.x_build[: self.cap_local], state.active,
-                state.box_lo, state.box_hi, self.periodic,
-                tilt=self._tilt(state),
-            )
-            disp2 = jax.lax.pmax(disp2, self._axes)
-            need = disp2 > (0.5 * self.params.skin) ** 2
+            need = self._stale(state, neigh)
             state, neigh, ghosts = jax.lax.cond(
                 need,
                 lambda args: self._rebuild(*args),
@@ -770,13 +811,7 @@ class ShardedSimulation:
                 (state, neigh, ghosts),
             )
         elif rebuild == "always":
-            disp2 = neighbor.max_displacement2(
-                state.x, neigh.x_build[: self.cap_local], state.active,
-                state.box_lo, state.box_hi, self.periodic,
-                tilt=self._tilt(state),
-            )
-            disp2 = jax.lax.pmax(disp2, self._axes)
-            viol = (disp2 > (0.5 * self.params.skin) ** 2).astype(jnp.int32)
+            viol = self._stale(state, neigh).astype(jnp.int32)
             state, neigh, ghosts = self._rebuild(state, neigh, ghosts)
             neigh = neigh.replace(
                 skin_violations=neigh.skin_violations + viol
