@@ -228,6 +228,15 @@ class SimParams:
                              # (xy, xz, yz) tilt (fix deform xy/xz/yz)
     press_target: jax.Array  # [3] target diagonal stress (servo control)
     press_tau: jax.Array     # Berendsen coupling time; 0 disables servo
+    # Per-type-pair material table [T, T, 8] holding (kn, kt, gamma_n,
+    # gamma_t, mu, k_roll, gamma_roll, mu_roll) per (type_i, type_j) —
+    # the LAMMPS ``pair_coeff i j ...`` surface (SURVEY.md 2 B.4 Pair
+    # base "mixing"). create() emits a [1, 1, 8] broadcast of the global
+    # scalars (single-material decks pay nothing); with_pair_coeffs
+    # builds a full table with geometric mixing for unset off-diagonal
+    # pairs. The scalar fields above remain the wall-law coefficients
+    # and the mixing defaults.
+    pair_tab: jax.Array
 
     @classmethod
     def create(cls, dt, kn, kt=None, gamma_n=0.0, gamma_t=None, mu=0.5,
@@ -241,6 +250,10 @@ class SimParams:
         if gamma_t is None:
             gamma_t = 0.5 * gamma_n
         f = lambda x: jnp.asarray(x, dtype=dtype)
+        pair_tab = jnp.stack(
+            [f(kn), f(kt), f(gamma_n), f(gamma_t), f(mu),
+             f(k_roll), f(gamma_roll), f(mu_roll)]
+        ).reshape(1, 1, 8)
         return cls(
             dt=f(dt), kn=f(kn), kt=f(kt), gamma_n=f(gamma_n),
             gamma_t=f(gamma_t), mu=f(mu),
@@ -251,7 +264,58 @@ class SimParams:
             shear_rate=f(jnp.asarray(shear_rate)),
             press_target=f(jnp.asarray(press_target)),
             press_tau=f(press_tau),
+            pair_tab=pair_tab,
         )
+
+    def with_pair_coeffs(self, n_types: int, coeffs: dict):
+        """Per-type-pair material table from explicit ``pair_coeff i j``
+        entries (0-based type indices, i <= j or any order; values are
+        (kn, kt, gamma_n, gamma_t, mu[, k_roll, gamma_roll, mu_roll])).
+
+        Unset diagonal entries default to the global scalars; unset
+        off-diagonal (i, j) mix GEOMETRICALLY from the diagonals:
+        sqrt(c_ii * c_jj) componentwise (the LAMMPS granular `mix
+        geometric` convention; zero disables a component for the pair
+        exactly when either material has it disabled)."""
+        import numpy as np
+
+        diag_default = np.array([
+            float(self.kn), float(self.kt), float(self.gamma_n),
+            float(self.gamma_t), float(self.mu), float(self.k_roll),
+            float(self.gamma_roll), float(self.mu_roll),
+        ])
+        tab = np.zeros((n_types, n_types, 8))
+        have = np.zeros((n_types, n_types), bool)
+        for (i, j), vals in coeffs.items():
+            v = np.asarray([float(x) for x in vals])
+            if v.shape[0] == 5:
+                v = np.concatenate([v, np.zeros(3)])
+            if v.shape[0] != 8:
+                raise ValueError(
+                    f"pair_coeff needs 5 or 8 values, got {v.shape[0]}"
+                )
+            tab[i, j] = tab[j, i] = v
+            have[i, j] = have[j, i] = True
+        for i in range(n_types):
+            if not have[i, i]:
+                tab[i, i] = diag_default
+                have[i, i] = True
+        for i in range(n_types):
+            for j in range(i + 1, n_types):
+                if not have[i, j]:
+                    tab[i, j] = tab[j, i] = np.sqrt(tab[i, i] * tab[j, j])
+        return self.replace(pair_tab=jnp.asarray(tab, self.kn.dtype))
+
+
+def pair_material(params: SimParams, t_i, t_j):
+    """Gather per-pair material rows [..., 8] = (kn, kt, gamma_n,
+    gamma_t, mu, k_roll, gamma_roll, mu_roll) from the [T, T, 8] table.
+    Indices clamp to the table size, so the [1, 1, 8] scalar-broadcast
+    default serves any number of shape types."""
+    tp = params.pair_tab.shape[0]
+    ti = jnp.minimum(t_i, tp - 1)
+    tj = jnp.minimum(t_j, tp - 1)
+    return params.pair_tab[ti, tj]
 
 
 def zeros_state(cap: int, box_lo, box_hi, dtype=jnp.float32) -> State:

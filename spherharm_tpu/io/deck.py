@@ -24,7 +24,7 @@ Supported commands (LAMMPS syntax; unknown commands raise):
   velocity all create <KE-per-atom> <seed> | velocity all set vx vy vz
   pair_style spherharm <kn> <kt> <gamma_n> <gamma_t> <mu> [lmax <L>]
              [rolling <k_roll> <gamma_roll> <mu_roll>]
-  pair_coeff * *
+  pair_coeff * * | pair_coeff <i> <j> <kn> <kt> <gn> <gt> <mu> [kr gr mur]
   neighbor <skin> bin
   neigh_modify every <N> check {yes|no}
   fix <id> all nve/sh
@@ -204,6 +204,7 @@ class DeckRunner:
         self.density = {}
         self.lmax = None
         self.pair = None             # dict kn/kt/gn/gt/mu
+        self.pair_coeffs = {}        # (i, j) 0-based -> value tuple
         self.skin = None
         self.dt = 1e-4
         self.gravity = (0.0, 0.0, 0.0)
@@ -537,10 +538,14 @@ class DeckRunner:
             if n == 0:
                 raise DeckError("lattice produced no sites inside region")
             x = x + rng.uniform(-0.02, 0.02, x.shape) * pitch
+        elif a[1] == "single":
+            # LAMMPS `create_atoms <type> single <x> <y> <z>`.
+            x = np.asarray([[float(a[2]), float(a[3]), float(a[4])]])
+            n = 1
         else:
             raise DeckError(
-                "create_atoms supports 'T random N seed region' or "
-                "'T region <id>'"
+                "create_atoms supports 'T random N seed region', "
+                "'T region <id>' or 'T single x y z'"
             )
         scale = np.ones(n)
         if "scale" in a:
@@ -592,7 +597,17 @@ class DeckRunner:
             self.rolling = tuple(float(v) for v in a[i + 1:i + 4])
 
     def cmd_pair_coeff(self, a):
-        pass  # per-type data comes from `shape` commands
+        # ``pair_coeff i j kn kt gamma_n gamma_t mu [kr gr mur]`` sets a
+        # per-type-pair material row (1-based types, LAMMPS-style; * *
+        # with no values is the legacy no-op — geometry comes from
+        # `shape`). Unset pairs mix geometrically at materialize time
+        # (SimParams.with_pair_coeffs).
+        if len(a) <= 2:
+            return  # pair_coeff * * : accept (geometry via shape cmds)
+        if a[0] == "*" or a[1] == "*":
+            raise DeckError("pair_coeff with values needs explicit i j")
+        i, j = int(a[0]) - 1, int(a[1]) - 1
+        self.pair_coeffs[(i, j)] = tuple(float(v) for v in a[2:])
 
     def cmd_neighbor(self, a):
         self.skin = float(a[0])
@@ -730,6 +745,10 @@ class DeckRunner:
             deform_rate=self.deform_rate, shear_rate=self.shear_rate,
             press_target=(self.press_target,) * 3, press_tau=self.press_tau,
         )
+        if self.pair_coeffs:
+            params = params.with_pair_coeffs(
+                shapes.n_types, self.pair_coeffs
+            )
         lo, hi = self.box
         triclinic = any(abs(t) > 0 for t in self.tilt) or any(
             abs(s) > 0 for s in self.shear_rate

@@ -60,9 +60,17 @@ def read_restart(path):
         neigh = NeighborState(
             **{f: jnp.asarray(z[f"neigh.{f}"]) for f in _NEIGH_FIELDS}
         )
-    params = SimParams(
-        **{f: jnp.asarray(z[f"params.{f}"]) for f in _PARAM_FIELDS}
-    )
+    pvals = {f: jnp.asarray(z[f"params.{f}"]) for f in _PARAM_FIELDS
+             if f"params.{f}" in z.files}
+    if "pair_tab" not in pvals:
+        # Restart written before per-type-pair tables existed: rebuild
+        # the scalar-broadcast default.
+        pvals["pair_tab"] = jnp.stack(
+            [pvals["kn"], pvals["kt"], pvals["gamma_n"], pvals["gamma_t"],
+             pvals["mu"], pvals["k_roll"], pvals["gamma_roll"],
+             pvals["mu_roll"]]
+        ).reshape(1, 1, 8)
+    params = SimParams(**pvals)
     extra = {
         k[len("extra."):]: z[k] for k in z.files if k.startswith("extra.")
     }

@@ -56,6 +56,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from spherharm_tpu.core import state as state_mod
 from spherharm_tpu.ops import rotation, sh_math
 from spherharm_tpu.ops.rotation import (
     angles_from_unit,
@@ -384,8 +385,16 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
     vn = vn_mag[..., None] * n_hat
     vt = v_rel - vn
 
+    # Per-type-pair material coefficients (LAMMPS pair_coeff i j ...;
+    # the [1, 1, 8] default broadcasts the global scalars).
+    mat = state_mod.pair_material(params, t_i, t_j)
+    kn_p, kt_p, gn_p, gt_p = (mat[..., 0], mat[..., 1],
+                              mat[..., 2], mat[..., 3])
+    mu_p, krl_p, grl_p, murl_p = (mat[..., 4], mat[..., 5],
+                                  mat[..., 6], mat[..., 7])
+
     fn_mag = poly * (
-        params.kn * delta - m_eff * params.gamma_n * vn_mag
+        kn_p * delta - m_eff * gn_p * vn_mag
     )
     fn_mag = jnp.maximum(fn_mag, 0.0)  # contact cannot pull
     f_n = fn_mag[..., None] * n_hat
@@ -394,9 +403,10 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
     xi = hist[..., 0:3]
     xi = xi - jnp.sum(xi * n_hat, axis=-1, keepdims=True) * n_hat
     xi = jnp.where(in_contact[..., None], xi + vt * params.dt, 0.0)
-    f_t = -(poly[..., None]) * (params.kt * xi + m_eff[..., None] * params.gamma_t * vt)
+    f_t = -(poly[..., None]) * (kt_p[..., None] * xi
+                                + (m_eff * gt_p)[..., None] * vt)
     ft_mag = jnp.linalg.norm(f_t, axis=-1)
-    cap = params.mu * fn_mag
+    cap = mu_p * fn_mag
     over = ft_mag > jnp.maximum(cap, 1e-30)
     scale_ft = jnp.where(over, cap / jnp.maximum(ft_mag, 1e-30), 1.0)
     f_t = f_t * scale_ft[..., None]
@@ -404,30 +414,31 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
     xi = jnp.where(
         (over & (poly > 0))[..., None],
         -(f_t / jnp.maximum(poly, 1e-30)[..., None]
-          + m_eff[..., None] * params.gamma_t * vt) / params.kt,
+          + (m_eff * gt_p)[..., None] * vt)
+        / jnp.maximum(kt_p, 1e-30)[..., None],
         xi,
     )
 
     # Rolling resistance (spring-dashpot-slider; see SimParams docstring).
     # Symmetric under pair-direction swap: v_roll(j,i) == v_roll(i,j).
-    roll_on = (params.k_roll > 0) | (params.gamma_roll > 0)
+    roll_on = (krl_p > 0) | (grl_p > 0)
     v_roll = -r_eff[..., None] * jnp.cross(n_hat, om_i - om_j)
     xi_r = hist[..., 3:6]
     xi_r = xi_r - jnp.sum(xi_r * n_hat, axis=-1, keepdims=True) * n_hat
     xi_r = jnp.where(
         (in_contact & roll_on)[..., None], xi_r + v_roll * params.dt, 0.0
     )
-    f_r = -(params.k_roll * xi_r + params.gamma_roll * v_roll)
+    f_r = -(krl_p[..., None] * xi_r + grl_p[..., None] * v_roll)
     fr_mag = jnp.linalg.norm(f_r, axis=-1)
-    cap_r = params.mu_roll * fn_mag
+    cap_r = murl_p * fn_mag
     over_r = fr_mag > jnp.maximum(cap_r, 1e-30)
     f_r = f_r * jnp.where(
         over_r, cap_r / jnp.maximum(fr_mag, 1e-30), 1.0
     )[..., None]
     xi_r = jnp.where(
-        (over_r & (params.k_roll > 0))[..., None],
-        -(f_r + params.gamma_roll * v_roll)
-        / jnp.maximum(params.k_roll, 1e-30),
+        (over_r & (krl_p > 0))[..., None],
+        -(f_r + grl_p[..., None] * v_roll)
+        / jnp.maximum(krl_p, 1e-30)[..., None],
         xi_r,
     )
     tau_roll = r_eff[..., None] * jnp.cross(n_hat, f_r)
@@ -443,7 +454,7 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
             rows_i, rows_j, t_i, t_j, pair_mask,
             box_lo, box_hi, shapes, params, exact, periodic, tilt,
         )
-        fn_damp = -(poly * m_eff * params.gamma_n * vn_mag)
+        fn_damp = -(poly * m_eff * gn_p * vn_mag)
         f_vis = jnp.where(
             in_contact[..., None], fn_damp[..., None] * n_hat + f_t, 0.0
         )
@@ -453,7 +464,7 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
         xi = jnp.concatenate([xi, xi_r], axis=-1)
         pe = jnp.where(
             in_contact,
-            0.4 * params.kn * jnp.sqrt(r_eff) * delta**2.5,
+            0.4 * kn_p * jnp.sqrt(r_eff) * delta**2.5,
             0.0,
         )
         return force, torque, torque_j, xi, pe, in_contact, d
@@ -465,7 +476,7 @@ def pair_contact_rows(rows_i, rows_j, t_i, t_j, hist, pair_mask,
     # Elastic PE of the Hertzian spring: integral kn*sqrt(R)*d^{3/2} dd.
     pe = jnp.where(
         in_contact,
-        0.4 * params.kn * jnp.sqrt(r_eff) * delta**2.5,
+        0.4 * kn_p * jnp.sqrt(r_eff) * delta**2.5,
         0.0,
     )
     return force, torque, torque_j, xi, pe, in_contact, d
@@ -495,9 +506,10 @@ def _pair_elastic_pe(x_i, x_j, q_i, q_j, aux, shapes, params,
     in_contact = cull & (s1 > 0)
     delta = jnp.where(in_contact, 1.5 * s2 / jnp.maximum(s1, 1e-30), 0.0)
     r_eff = rc_i * rc_j / jnp.maximum(rc_i + rc_j, 1e-12)
+    kn_p = state_mod.pair_material(params, t_i, t_j)[..., 0]
     return jnp.where(
         in_contact,
-        0.4 * params.kn * jnp.sqrt(r_eff)
+        0.4 * kn_p * jnp.sqrt(r_eff)
         * jnp.maximum(delta, 0.0) ** 2.5,
         0.0,
     )

@@ -31,10 +31,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spherharm_tpu.core import state as state_mod
 from spherharm_tpu.ops import sh_power
 
 # Packed per-pair input layout [P, F].
-_F = 48  # padded width
+_F = 56  # padded width
 _SLOTS = {
     "xi": (0, 3), "vi": (3, 6), "qi": (6, 10), "omi": (10, 13),
     "mi": (13, 14), "rbi": (14, 15), "rmi": (15, 16), "rci": (16, 17),
@@ -42,6 +43,9 @@ _SLOTS = {
     "mj": (30, 31), "rbj": (31, 32), "rmj": (32, 33), "rcj": (33, 34),
     "hist": (34, 40), "mask": (40, 41), "d": (41, 44),
     "tail": (44, 45),  # stage-1 truncation bound tail_i*s_i + tail_j*s_j
+    # Per-type-pair material row (core.state.pair_material): kn, kt,
+    # gamma_n, gamma_t, mu, k_roll, gamma_roll, mu_roll.
+    "mat": (45, 53),
 }
 _NOUT = 24  # force 0:3, tau_i 3:6, tau_j 6:9, springs 9:15, pe 15, contact 16
 _NPAR = 16
@@ -515,14 +519,12 @@ def _make_kernel(lmax: int, conservative: bool = False):
         poly = jnp.sqrt(jnp.maximum(delta * r_eff, 0.0))
 
         dt = par_ref[0, 0]
-        kn = par_ref[0, 1]
-        kt = par_ref[0, 2]
-        gn = par_ref[0, 3]
-        gt = par_ref[0, 4]
-        mu = par_ref[0, 5]
-        k_roll = par_ref[0, 6]
-        g_roll = par_ref[0, 7]
-        mu_roll = par_ref[0, 8]
+        # Per-pair material columns [B, 1] (pair_coeff i j ... tables;
+        # pack_pairs broadcasts the global scalars when no table is set).
+        mat_lo, _ = _SLOTS["mat"]
+        (kn, kt, gn, gt, mu, k_roll, g_roll, mu_roll) = (
+            pairs[:, mat_lo + k:mat_lo + k + 1] for k in range(8)
+        )
 
         vi, vj = vec("vi"), vec("vj")
         omi, omj = vec("omi"), vec("omj")
@@ -923,10 +925,11 @@ def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None):
     ri = rows[pi][:, :17].astype(jnp.float32)
     rj = rows[pj][:, :17].astype(jnp.float32)
     tail = (shapes.tail1[ti_t] * si + shapes.tail1[tj_t] * sj)
+    mat = state_mod.pair_material(params, ti_t, tj_t)
     packed = jnp.concatenate(
         [ri, rj, hist.astype(jnp.float32),
          mask.astype(jnp.float32)[:, None], d.astype(jnp.float32),
-         tail.astype(jnp.float32)[:, None]],
+         tail.astype(jnp.float32)[:, None], mat.astype(jnp.float32)],
         axis=1,
     )
     packed = jnp.pad(packed, ((0, 0), (0, _F - packed.shape[1])))
