@@ -762,11 +762,12 @@ def build_pair_list(state, shapes, params, neigh_idx, neigh_mask, hist,
 
 
 @partial(jax.jit, static_argnames=("keep_cap", "k_max", "window_steps",
-                                   "floor_frac", "periodic"))
+                                   "floor_frac", "periodic", "probe_chunk"))
 def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
                         k_max: int, window_steps: int = 16,
                         floor_frac: float = 0.25,
-                        periodic=(False, False, False), tilt=None):
+                        periodic=(False, False, False), tilt=None,
+                        probe_chunk: int = 262144):
     """Rebuild-time narrow-phase prefilter: compact the bounding-sphere
     candidate pair list down to pairs that can actually touch before the
     next rebuild (the contact analogue of the Verlet skin).
@@ -814,21 +815,42 @@ def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
         rows[pj][:, _RX] - rows[pi][:, _RX],
         state.box_lo, state.box_hi, periodic, tilt,
     )
-    packed, _, _, cap, _ = contact_pallas.pack_pairs(
-        state, shapes, params, pi, pj, msk, fields["pair_hist"], dp,
-        rows=rows,
-    )
     tail_lo, _ = contact_pallas._SLOTS["tail"]
-    packed = packed.at[:, tail_lo].set(0.0)
     nc_ab = (shapes.lmax + 1) ** 2  # A/B prefix of the power layout
-    ti_ab = shapes.power_tbl[state.shtype[pi], :nc_ab] \
-        * state.scale[pi][:, None]
-    tj_ab = shapes.power_tbl[state.shtype[pj], :nc_ab] \
-        * state.scale[pj][:, None]
-    depth = contact_pallas.stage1_depth_pallas(
-        packed, ti_ab, tj_ab, cap, lmax=shapes.lmax, l1=shapes.lmax,
-        bf16=False,
-    )
+    hw = fields["pair_hist"].shape[-1]
+
+    def probe_rows(args):
+        # One probe block: pack + full-basis f32 r-only depth. Packing
+        # per block bounds the [P, 81]x2 power-table gathers — the
+        # dominant transient at candidate-list scale (3.2 GB at P=5e6
+        # unchunked; the n=1M single-chip OOM).
+        pi_b, pj_b, msk_b, dp_b = args
+        hist_b = jnp.zeros((pi_b.shape[0], hw), dp_b.dtype)
+        packed, _, _, cap, _ = contact_pallas.pack_pairs(
+            state, shapes, params, pi_b, pj_b, msk_b, hist_b, dp_b,
+            rows=rows,
+        )
+        packed = packed.at[:, tail_lo].set(0.0)
+        ti_ab = shapes.power_tbl[state.shtype[pi_b], :nc_ab] \
+            * state.scale[pi_b][:, None]
+        tj_ab = shapes.power_tbl[state.shtype[pj_b], :nc_ab] \
+            * state.scale[pj_b][:, None]
+        return contact_pallas.stage1_depth_pallas(
+            packed, ti_ab, tj_ab, cap, lmax=shapes.lmax, l1=shapes.lmax,
+            bf16=False,
+        )
+
+    if probe_chunk and P > probe_chunk:
+        C = probe_chunk
+        nb = -(-P // C)
+        pad = nb * C - P
+        padp = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        depth = jax.lax.map(probe_rows, (
+            padp(pi).reshape(nb, C), padp(pj).reshape(nb, C),
+            padp(msk).reshape(nb, C), padp(dp).reshape(nb, C, 3),
+        )).reshape(nb * C)[:P]
+    else:
+        depth = probe_rows((pi, pj, msk, dp))
 
     # Per-particle motion budgets (see docstring).
     T = window_steps * params.dt

@@ -82,12 +82,14 @@ def _stencil_offsets():
     return jnp.asarray(off)
 
 
-@partial(jax.jit, static_argnames=("grid_dims", "cell_cap", "k_max", "periodic"))
+@partial(jax.jit, static_argnames=("grid_dims", "cell_cap", "k_max",
+                                   "periodic", "row_chunk"))
 def cell_list_neighbors(
     x, active, box_lo, box_hi, cutoff,
     grid_dims: tuple, cell_cap: int, k_max: int,
     periodic=(False, False, False),
     bin_lo=None, bin_hi=None, owned=None, tilt=None,
+    row_chunk: int = 262144,
 ):
     """Cell-binned neighbor build. Returns (idx, mask, count, cell_overflow).
 
@@ -98,6 +100,13 @@ def cell_list_neighbors(
       4. stencil:  gather 27 neighboring cells -> [N, 27*cell_cap] candidates
       5. filter:   min-image distance < cutoff, self/inactive excluded
       6. compact:  stable top_k on validity -> [N, k_max]
+
+    Steps 4-6 materialize [N, 27*cell_cap(*3)] intermediates — the
+    single-chip capacity ceiling at large N (n=1M needs ~11 GB of
+    transient HBM unchunked). ``row_chunk`` bounds them by running the
+    stencil/filter/top_k stage through ``lax.map`` over row blocks; the
+    rebuild is off the hot path (cadence ~20), so the loop costs
+    nothing that matters. 0 disables chunking.
 
     Sharded use (SURVEY.md 2 B.6): pass the extended local+ghost arrays,
     ``bin_lo``/``bin_hi`` covering the owned slab plus halo margin (the
@@ -157,36 +166,66 @@ def cell_list_neighbors(
 
     # Stencil gather: neighbor cell coords with wrap/clamp per dim.
     off = _stencil_offsets()  # [27,3]
-    ncc = cc[:, None, :] + off[None, :, :]  # [N,27,3]
     pmask = jnp.asarray(periodic)
-    wrapped = jnp.mod(ncc, D)
-    oob = (ncc < 0) | (ncc >= D)
-    ncc_ok = jnp.where(pmask[None, None, :], wrapped, jnp.clip(ncc, 0, D - 1))
-    invalid_cell = jnp.any(oob & ~pmask[None, None, :], axis=-1)  # [N,27]
-    ncid = (ncc_ok[..., 0] * D[1] + ncc_ok[..., 1]) * D[2] + ncc_ok[..., 2]
-    ncid = jnp.where(invalid_cell, n_cells - 1, ncid)  # any cell; masked below
 
-    cand = table[ncid]  # [N, 27, cell_cap]
-    cand = jnp.where(invalid_cell[..., None], -1, cand)
-    cand = cand.reshape(N, 27 * cell_cap)
+    def stencil_rows(args):
+        cc_b, x_b, self_b, owned_b = args  # [C, ...]
+        ncc = cc_b[:, None, :] + off[None, :, :]  # [C,27,3]
+        wrapped = jnp.mod(ncc, D)
+        oob = (ncc < 0) | (ncc >= D)
+        ncc_ok = jnp.where(
+            pmask[None, None, :], wrapped, jnp.clip(ncc, 0, D - 1)
+        )
+        invalid_cell = jnp.any(oob & ~pmask[None, None, :], axis=-1)
+        ncid = ((ncc_ok[..., 0] * D[1] + ncc_ok[..., 1]) * D[2]
+                + ncc_ok[..., 2])
+        ncid = jnp.where(invalid_cell, n_cells - 1, ncid)  # masked below
 
-    safe = jnp.maximum(cand, 0)
-    d = minimum_image(x[safe] - x[:, None, :], box_lo, box_hi, periodic, tilt)
-    dist2 = jnp.sum(d * d, axis=-1)
-    valid = (
-        (cand >= 0)
-        & (cand != jnp.arange(N)[:, None])
-        & (dist2 < cutoff**2)
-        & active[safe]
-        & owned[:, None]
-    )
-    count = jnp.sum(valid, axis=1)
+        cand = table[ncid]  # [C, 27, cell_cap]
+        cand = jnp.where(invalid_cell[..., None], -1, cand)
+        cand = cand.reshape(-1, 27 * cell_cap)
 
-    score = jnp.where(valid, 1.0, 0.0)
-    _, sel = jax.lax.top_k(score, k_max)  # stable: lowest index first
-    idx = jnp.take_along_axis(safe, sel, axis=1)
-    mask = jnp.take_along_axis(valid, sel, axis=1)
-    return idx.astype(jnp.int32), mask, count, cell_overflow
+        safe = jnp.maximum(cand, 0)
+        d = minimum_image(
+            x[safe] - x_b[:, None, :], box_lo, box_hi, periodic, tilt
+        )
+        dist2 = jnp.sum(d * d, axis=-1)
+        valid = (
+            (cand >= 0)
+            & (cand != self_b[:, None])
+            & (dist2 < cutoff**2)
+            & active[safe]
+            & owned_b[:, None]
+        )
+        count = jnp.sum(valid, axis=1)
+        score = jnp.where(valid, 1.0, 0.0)
+        _, sel = jax.lax.top_k(score, k_max)  # stable: lowest index first
+        idx_b = jnp.take_along_axis(safe, sel, axis=1)
+        mask_b = jnp.take_along_axis(valid, sel, axis=1)
+        return idx_b.astype(jnp.int32), mask_b, count
+
+    self_idx = jnp.arange(N, dtype=jnp.int32)
+    if row_chunk and N > row_chunk:
+        C = row_chunk
+        nb = -(-N // C)
+        pad = nb * C - N
+        padr = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        args = (
+            padr(cc).reshape(nb, C, 3),
+            padr(x).reshape(nb, C, 3),
+            # Padding rows self-match nothing real; owned=False masks
+            # them out entirely.
+            jnp.pad(self_idx, (0, pad), constant_values=-1)
+            .reshape(nb, C),
+            padr(owned.astype(bool)).reshape(nb, C),
+        )
+        idx, mask, count = jax.lax.map(stencil_rows, args)
+        idx = idx.reshape(nb * C, k_max)[:N]
+        mask = mask.reshape(nb * C, k_max)[:N]
+        count = count.reshape(nb * C)[:N]
+    else:
+        idx, mask, count = stencil_rows((cc, x, self_idx, owned))
+    return idx, mask, count, cell_overflow
 
 
 @partial(jax.jit, static_argnames=("chunk",))
