@@ -281,7 +281,7 @@ class Simulation:
             wf, wt, whist, wpe, n_near = walls_mod.wall_contact(
                 state, self.shapes, self.params, wall,
                 neigh.wall_hist[:, w_i], wall_cap=self.wall_capacity,
-                exact=self.exact_eval,
+                exact=self.exact_eval, use_pallas=self.use_pallas,
             )
             f = f + wf
             tau = tau + wt

@@ -98,7 +98,7 @@ class CylinderWall:
 
 
 def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
-                 exact: bool | None = None):
+                 exact: bool | None = None, use_pallas: bool = False):
     """Hertz/friction contact of every particle against one wall.
 
     hist: [N, 3] tangential springs for this wall.
@@ -108,6 +108,10 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
     particles whose bounding sphere reaches the wall enter the [*, G]
     narrow phase; results scatter back. In a drum/box most particles are
     in the bulk, so this removes ~80-95%% of the per-step wall work.
+
+    ``use_pallas=True`` runs the narrow phase through the fused wall
+    kernel (ops/walls_pallas.py; parity-pinned against this jnp path) —
+    compiled on TPU, interpreter elsewhere.
     """
     if wall_cap and wall_cap < state.cap:
         depth_c, _ = wall.depth_and_normal(state.x)
@@ -125,7 +129,8 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
             tag=state.tag[sel], image=state.image[:wall_cap],
         )
         fw, tw, hw, pew, _ = wall_contact(sub, shapes, params, wall,
-                                          hist[sel], exact=exact)
+                                          hist[sel], exact=exact,
+                                          use_pallas=use_pallas)
         # Overflow guard: if more near-wall particles than capacity, the
         # extras silently get no wall force — flag via a huge pe marker
         # is avoided; instead callers size wall_cap from geometry. Keep a
@@ -153,6 +158,20 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
     depth_c, n_c = wall.depth_and_normal(state.x)
     rmax = shapes.rmax[state.shtype] * state.scale
     near = state.active & (depth_c > -rmax)
+
+    if use_pallas:
+        from spherharm_tpu.ops import walls_pallas
+
+        inertia = shapes.inertia_of(state.shtype, state.scale)
+        om = omega_from_angmom(state.q, state.angmom, inertia)
+        packed, tbl, cap_t, par, kind = walls_pallas.pack_wall(
+            state, shapes, params, wall, hist, depth_c, n_c, om,
+        )
+        out = walls_pallas.wall_contact_pallas(
+            packed, tbl, cap_t, par, lmax=shapes.lmax, kind=kind,
+        )
+        return (out[:, 0:3], out[:, 3:6], out[:, 6:12], out[:, 12],
+                jnp.sum(near.astype(jnp.int32)))
 
     # Patch-local adaptive cap grid toward the wall (same scheme as the
     # pair kernel, ops/contact.py): a fixed full-surface node set cannot

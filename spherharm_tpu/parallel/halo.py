@@ -759,7 +759,7 @@ class ShardedSimulation:
                 state, self.shapes, self.params, wall,
                 neigh.wall_hist[: self.cap_local, w_i],
                 wall_cap=self.wall_capacity,
-                exact=self.exact_eval,
+                exact=self.exact_eval, use_pallas=self.use_pallas,
             )
             f = f + wf
             tau = tau + wt
