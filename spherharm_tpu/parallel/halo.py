@@ -257,7 +257,7 @@ class ShardedSimulation:
             return False
         per_dev = leaf.shape[0] // self.n_shards
         return per_dev in (self.cap_local, self.cap_ext, 2 * self.halo_cap,
-                           self.pair_capacity)
+                           self.pair_capacity, self.pair_list_cap)
 
     def _specs(self, tree):
         return jax.tree.map(

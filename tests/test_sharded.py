@@ -449,3 +449,49 @@ def _run_weighted_balance_case(balance_fracs):
                                    err_msg=f"x tag {t}")
         np.testing.assert_allclose(vb[t], vu[t], atol=2e-3,
                                    err_msg=f"v tag {t}")
+
+
+def test_sharded_prefilter_matches_single_device():
+    """Sharded run with the REBUILD-CADENCE PREFILTER (use_pallas +
+    stage2_capacity: the production bench configuration) matches the
+    plain single-device jnp trajectory per tag — pins the sharded
+    prefilter wiring (budget leaf sharding, stage2-sized pair leaves,
+    approach_ratio trigger under pmax)."""
+    n_dev = 4
+    shapes, params, state0, box = _setup(n=72, seed=5)
+    periodic = (True, True, True)
+
+    grid = CellGrid([0, 0, 0], [box, box, box], 1.5, periodic)
+    sim1 = Simulation(
+        shapes, params, periodic=periodic, neighbor_mode="cell",
+        grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+    )
+    s1, n1 = sim1.init_neighbors(state0)
+    s1, n1 = sim1.run(s1, n1, 80)
+    t1 = sim1.thermo(s1, n1)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    simp = ShardedSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+        box_hi=(box, box, box),
+        cap_local=96, halo_cap=64, migrate_cap=32,
+        periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+        use_pallas=True, stage2_capacity=256,
+    )
+    sp, ngp, ghp = simp.init(state0)
+    assert ngp.pair_i.shape[0] == n_dev * 256  # stage2-sized pair leaves
+    sp, ngp, ghp = simp.run(sp, ngp, ghp, 80)
+    tp = simp.thermo(sp, ngp, ghp)
+    assert int(tp["neigh_overflow"]) == 0
+
+    tags1 = np.asarray(s1.tag)[np.asarray(s1.active)]
+    x1 = {int(t): np.asarray(s1.x)[i]
+          for i, t in zip(np.where(np.asarray(s1.active))[0], tags1)}
+    tagsp = np.asarray(sp.tag)[np.asarray(sp.active)]
+    xp = {int(t): np.asarray(sp.x)[i]
+          for i, t in zip(np.where(np.asarray(sp.active))[0], tagsp)}
+    assert set(x1.keys()) == set(xp.keys())
+    for t in x1:
+        np.testing.assert_allclose(xp[t], x1[t], atol=3e-3,
+                                   err_msg=f"x mismatch tag {t}")
+    assert float(tp["etot"]) == pytest.approx(float(t1["etot"]), rel=2e-3)
