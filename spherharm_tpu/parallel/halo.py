@@ -66,10 +66,10 @@ def balance_fracs(state_global, n_shards: int, min_frac: float = 0.0,
     ``axis`` selects the coordinate (0/1/2) — the brick decomposition
     calls this once per sharded mesh axis to build its per-axis
     ``bounds_frac`` dict.
-    Rebalancing mid-run = gather_restart -> new sim with fresh fracs ->
-    init(restart=...), a deliberate recompile-on-rebalance design (the
-    decomposition is a static program constant; the reference also
-    reneighbors + re-partitions wholesale on `balance`).
+    For INITIAL bounds. Mid-run, use ShardedSimulation.rebalance():
+    the bounds are a traced GhostPack leaf, so rebalancing swaps the
+    array with no recompile (drastic re-cuts beyond +/- one slab per
+    boundary still go through gather_restart -> new sim).
     """
     x = np.asarray(state_global.x)
     act = np.asarray(state_global.active)
@@ -102,11 +102,17 @@ class GhostPack:
     active: jax.Array   # [2H] bool
     send_idx: jax.Array   # [2H] int32: my slots to forward ([:H] left, [H:] right)
     send_mask: jax.Array  # [2H] bool
+    # [S+1] slab boundaries as box FRACTIONS, replicated across shards.
+    # A traced leaf (not a baked constant) so in-run rebalancing
+    # (ShardedSimulation.rebalance) only swaps the array — no recompile.
+    # None for decompositions that keep static bounds (the brick).
+    fracs: jax.Array | None = None
 
 
-def empty_ghosts(h_cap: int, dtype=jnp.float32) -> GhostPack:
+def empty_ghosts(h_cap: int, dtype=jnp.float32, fracs=None) -> GhostPack:
     H2 = 2 * h_cap
     return GhostPack(
+        fracs=fracs,
         x=jnp.zeros((H2, 3), dtype), v=jnp.zeros((H2, 3), dtype),
         q=jnp.zeros((H2, 4), dtype).at[:, 0].set(1.0),
         angmom=jnp.zeros((H2, 3), dtype),
@@ -360,6 +366,11 @@ class ShardedSimulation:
             lambda a: jnp.concatenate([a] * P_, axis=0),
             empty_ghosts(self.halo_cap, dtype),
         )
+        # The slab bounds ride the GhostPack as a TRACED (replicated)
+        # leaf: rebalance() swaps the array without recompiling.
+        ghosts = ghosts.replace(
+            fracs=jnp.asarray(self.bounds_frac, dtype)
+        )
         sharding = NamedSharding(self.mesh, P("x"))
 
         def put(leaf):
@@ -392,20 +403,22 @@ class ShardedSimulation:
         return (left_send.astype(state.x.dtype),
                 right_send.astype(state.x.dtype))
 
-    def _slab_edges(self, state, idx):
+    def _slab_edges(self, state, idx, fracs):
         """(slab_lo, slab_hi) of shard ``idx`` under weighted bounds.
 
-        Fractions of the CURRENT box length, so deformation rescales
+        ``fracs`` is the TRACED [S+1] boundary array riding the
+        GhostPack (in-run rebalance swaps it with no recompile), as
+        fractions of the CURRENT box length, so deformation rescales
         the decomposition with the cell.
         """
-        fr = jnp.asarray(self.bounds_frac, state.x.dtype)
+        fr = fracs.astype(state.x.dtype)
         Lx = state.box_hi[0] - state.box_lo[0]
         return (state.box_lo[0] + fr[idx] * Lx,
                 state.box_lo[0] + fr[idx + 1] * Lx)
 
-    def _slab_of(self, state, x0):
+    def _slab_of(self, state, x0, fracs):
         """Owner shard of x-coordinates ``x0`` (weighted searchsorted)."""
-        fr = jnp.asarray(self.bounds_frac[1:-1], state.x.dtype)
+        fr = fracs[1:-1].astype(state.x.dtype)
         Lx = state.box_hi[0] - state.box_lo[0]
         xf = (x0 - state.box_lo[0]) / Lx
         return jnp.clip(
@@ -434,10 +447,10 @@ class ShardedSimulation:
             out[f] = jnp.concatenate([from_left, from_right], axis=0)
         return out
 
-    def _halo_membership(self, state):
+    def _halo_membership(self, state, fracs):
         """Select owned particles within halo_depth of each slab face."""
         idx = jax.lax.axis_index("x")
-        slab_lo, slab_hi = self._slab_edges(state, idx)
+        slab_lo, slab_hi = self._slab_edges(state, idx, fracs)
         near_l = state.active & (state.x[:, 0] < slab_lo + self.halo_depth)
         near_r = state.active & (state.x[:, 0] >= slab_hi - self.halo_depth)
         near_l = near_l & self._has_left(idx)
@@ -449,7 +462,7 @@ class ShardedSimulation:
         overflow = jnp.maximum(jnp.sum(near_l), jnp.sum(near_r))
         return send_idx, send_mask, overflow
 
-    def _migrate(self, state, neigh):
+    def _migrate(self, state, neigh, fracs):
         """Move owned particles whose slab changed to ring neighbors.
 
         Positions are wrapped BEFORE migration (in _rebuild), so a
@@ -469,7 +482,7 @@ class ShardedSimulation:
         idx = jax.lax.axis_index("x")
         P_ = self.n_shards
         M = self.migrate_cap
-        tgt = self._slab_of(state, state.x[:, 0])
+        tgt = self._slab_of(state, state.x[:, 0], fracs)
         moving = state.active & (tgt != idx) & (P_ > 1)
         go_left = moving & (tgt == (idx - 1) % P_) & self._has_left(idx)
         # On a 2-shard ring left and right neighbor coincide: ~go_left
@@ -639,9 +652,10 @@ class ShardedSimulation:
         # layout FIRST: migration ships [N, K] rows, and remap reads them.
         if fold:
             neigh = neigh.replace(hist=contact.pair_hist_to_dense(neigh))
-        state, neigh, mig_ovf = self._migrate(state, neigh)
+        fracs = ghosts.fracs
+        state, neigh, mig_ovf = self._migrate(state, neigh, fracs)
 
-        send_idx, send_mask, halo_ovf = self._halo_membership(state)
+        send_idx, send_mask, halo_ovf = self._halo_membership(state, fracs)
         gfields = self._gather_send(state, send_idx, send_mask)
         gmeta = {}
         for f in ("scale", "shtype", "tag"):
@@ -658,11 +672,11 @@ class ShardedSimulation:
             x=gfields["x"], v=gfields["v"], q=gfields["q"],
             angmom=gfields["angmom"], scale=gmeta["scale"],
             shtype=gmeta["shtype"], tag=gmeta["tag"], active=g_active,
-            send_idx=send_idx, send_mask=send_mask,
+            send_idx=send_idx, send_mask=send_mask, fracs=fracs,
         )
 
         ext = self._extend(state, ghosts)
-        slab_lo, slab_hi = self._slab_edges(state, idx)
+        slab_lo, slab_hi = self._slab_edges(state, idx, fracs)
         bin_lo = jnp.stack([
             slab_lo - self.halo_depth, state.box_lo[1], state.box_lo[2]
         ])
@@ -870,6 +884,55 @@ class ShardedSimulation:
     def run(self, state, neigh, ghosts, n_steps: int):
         return _run_jit(self, state, neigh, ghosts, n_steps)
 
+    def rebalance(self, state, neigh, ghosts):
+        """In-run load rebalance — the LAMMPS ``fix balance`` / ``balance
+        x weighted`` analogue, WITHOUT a recompile: the slab bounds are
+        a traced GhostPack leaf, so this swaps the array and forces one
+        rebuild (migrate + re-halo + fresh forces) through the already-
+        compiled program.
+
+        New bounds are per-shard x-quantiles of the current particles,
+        clamped so (a) each boundary stays strictly inside its old
+        neighboring boundaries — every particle's owner moves at most
+        one shard, which the +/-1-hop migration ring routes in the one
+        forced rebuild — and (b) each slab stays halo-legal AND wide
+        enough that the static bin grid keeps cells >= cutoff (both
+        violations would otherwise flag loudly via the overflow
+        channel). Call between run() blocks at the balance cadence.
+        Returns (state, neigh, ghosts).
+        """
+        xs = np.asarray(jax.device_get(state.x))
+        act = np.asarray(jax.device_get(state.active))
+        lo = float(np.asarray(state.box_lo)[0])
+        hi = float(np.asarray(state.box_hi)[0])
+        Lx = hi - lo
+        xf = np.clip((xs[act, 0] - lo) / Lx, 0.0, 1.0)
+        S = self.n_shards
+        qs = np.quantile(xf, np.linspace(0.0, 1.0, S + 1))
+        qs[0], qs[-1] = 0.0, 1.0
+        cutoff_total = float(self.params.cutoff + self.params.skin) \
+            + self.tilt_pad
+        min_w = max(self.halo_depth,
+                    self.grid_dims[0] * cutoff_total - 2 * self.halo_depth)
+        min_frac = min_w / Lx * (1.0 + 1e-3)
+        old = np.asarray(jax.device_get(ghosts.fracs), np.float64)
+        for i in range(1, S):
+            qs[i] = np.clip(qs[i], old[i - 1] + min_frac,
+                            old[i + 1] - min_frac)
+        for i in range(1, S):          # monotone + min width, L->R
+            qs[i] = max(qs[i], qs[i - 1] + min_frac)
+        for i in range(S - 1, 0, -1):  # R->L
+            qs[i] = min(qs[i], qs[i + 1] - min_frac)
+        if np.any(np.diff(qs) <= 0):
+            raise ValueError(
+                "rebalance could not find halo-legal bounds "
+                f"(min_frac={min_frac:.3g}, S={S})"
+            )
+        ghosts = ghosts.replace(
+            fracs=jnp.asarray(qs, ghosts.fracs.dtype)
+        )
+        return _rebalance_jit(self, state, neigh, ghosts)
+
     def thermo(self, state, neigh, ghosts) -> dict:
         return _thermo_jit(self, state, neigh, ghosts)
 
@@ -896,6 +959,23 @@ def _fold_hist_jit(sim: ShardedSimulation, neigh):
         out_specs=sim._specs((neigh,))[0],
         check_vma=False,
     )(neigh)
+
+
+@partial(jax.jit, static_argnames=("sim",))
+def _rebalance_jit(sim: ShardedSimulation, state, neigh, ghosts):
+    """One forced rebuild + force refresh after a bounds swap (compiled
+    once; reused for every later rebalance — fracs is a traced leaf)."""
+    def body(state, neigh, ghosts):
+        state, neigh, ghosts = sim._rebuild(state, neigh, ghosts, fold=True)
+        state, neigh, _ = sim._forces(state, neigh, ghosts)
+        return state, neigh, ghosts
+
+    args = (state, neigh, ghosts)
+    return jax.shard_map(
+        body, mesh=sim.mesh,
+        in_specs=sim._specs(args), out_specs=sim._specs(args),
+        check_vma=False,
+    )(*args)
 
 
 @partial(jax.jit, static_argnames=("sim",))

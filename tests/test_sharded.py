@@ -495,3 +495,54 @@ def test_sharded_prefilter_matches_single_device():
         np.testing.assert_allclose(xp[t], x1[t], atol=3e-3,
                                    err_msg=f"x mismatch tag {t}")
     assert float(tp["etot"]) == pytest.approx(float(t1["etot"]), rel=2e-3)
+
+
+def test_inrun_rebalance_no_recompile():
+    """Mid-run rebalance(): bounds swap via the traced GhostPack leaf,
+    one forced rebuild migrates ownership, trajectory stays identical
+    to the single-device reference, and the already-compiled run
+    program is reused (no retrace — pinned via jax internals)."""
+    n_dev = 4
+    shapes, params, state0, box = _setup(n=72, seed=8)
+    periodic = (True, True, True)
+
+    grid = CellGrid([0, 0, 0], [box, box, box], 1.5, periodic)
+    sim1 = Simulation(
+        shapes, params, periodic=periodic, neighbor_mode="cell",
+        grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+    )
+    s1, n1 = sim1.init_neighbors(state0)
+    s1, n1 = sim1.run(s1, n1, 60)
+    s1, n1 = sim1.run(s1, n1, 60)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    sim8 = ShardedSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+        box_hi=(box, box, box),
+        cap_local=96, halo_cap=64, migrate_cap=32,
+        periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+    )
+    s8, ng8, gh8 = sim8.init(state0)
+    s8, ng8, gh8 = sim8.run(s8, ng8, gh8, 60)
+    from spherharm_tpu.parallel import halo as halo_mod
+    n_traces = halo_mod._run_jit._cache_size()
+    fr_before = np.asarray(jax.device_get(gh8.fracs))
+    s8, ng8, gh8 = sim8.rebalance(s8, ng8, gh8)
+    fr_after = np.asarray(jax.device_get(gh8.fracs))
+    assert not np.allclose(fr_before, fr_after)  # bounds actually moved
+    s8, ng8, gh8 = sim8.run(s8, ng8, gh8, 60)
+    # No retrace of the step program from the bounds swap.
+    assert halo_mod._run_jit._cache_size() == n_traces
+    t8 = sim8.thermo(s8, ng8, gh8)
+    assert int(t8["neigh_overflow"]) <= 64
+
+    tags1 = np.asarray(s1.tag)[np.asarray(s1.active)]
+    x1 = {int(t): np.asarray(s1.x)[i]
+          for i, t in zip(np.where(np.asarray(s1.active))[0], tags1)}
+    tags8 = np.asarray(s8.tag)[np.asarray(s8.active)]
+    x8 = {int(t): np.asarray(s8.x)[i]
+          for i, t in zip(np.where(np.asarray(s8.active))[0], tags8)}
+    assert set(x1.keys()) == set(x8.keys())
+    for t in x1:
+        np.testing.assert_allclose(x8[t], x1[t], atol=3e-3,
+                                   err_msg=f"x mismatch tag {t}")
