@@ -24,11 +24,21 @@ def replicate(tree, n: int):
     )
 
 
+# SimParams material scalars mirrored into the per-type-pair table
+# (core.state.pair_material reads the table, not the scalars).
+_MAT_SLOT = {"kn": 0, "kt": 1, "gamma_n": 2, "gamma_t": 3, "mu": 4,
+             "k_roll": 5, "gamma_roll": 6, "mu_roll": 7}
+
+
 def with_param_sweep(params, **overrides):
     """Replica-stack params with per-replica values for chosen fields.
 
     Example: ``with_param_sweep(params, mu=jnp.linspace(0.1, 0.9, 8))``
     returns params with every leaf tiled to [R, ...] and ``mu`` varying.
+
+    Sweeping a material scalar (kn, mu, ...) also overrides that slot of
+    the WHOLE pair_tab — material sweeps are global; per-type-pair
+    tables and sweeps don't compose (sweep pair_tab directly for that).
     """
     lengths = {k: len(v) for k, v in overrides.items()}
     n = next(iter(lengths.values()))
@@ -36,6 +46,12 @@ def with_param_sweep(params, **overrides):
     stacked = replicate(params, n)
     for k, v in overrides.items():
         stacked = stacked.replace(**{k: jnp.asarray(v, getattr(params, k).dtype)})
+        if k in _MAT_SLOT:
+            pt = stacked.pair_tab  # [R, T, T, 8]
+            vv = jnp.asarray(v, pt.dtype).reshape(-1, 1, 1)
+            stacked = stacked.replace(
+                pair_tab=pt.at[..., _MAT_SLOT[k]].set(vv)
+            )
     return stacked
 
 
