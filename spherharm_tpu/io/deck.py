@@ -632,14 +632,29 @@ class DeckRunner:
             d = d / np.linalg.norm(d)
             self.gravity = tuple(g * d)
         elif style == "wall/gran":
+            # Optional per-wall material (LAMMPS fix wall/gran carries
+            # its own coefficients): trailing
+            # ``coeff kn kt gn gt mu [kr gr mur]``.
+            mat = None
+            if "coeff" in a:
+                i = a.index("coeff")
+                vals = [float(v) for v in a[i + 1:]]
+                if len(vals) == 5:
+                    vals += [0.0, 0.0, 0.0]
+                if len(vals) != 8:
+                    raise DeckError("wall coeff needs 5 or 8 values")
+                mat = vals
+                a = a[:i]
             if a[3] == "plane":
                 self.walls.append(PlaneWall.create(
-                    [float(v) for v in a[4:7]], [float(v) for v in a[7:10]]
+                    [float(v) for v in a[4:7]], [float(v) for v in a[7:10]],
+                    mat=mat,
                 ))
             elif a[3] == "cylinder":
                 self.walls.append(CylinderWall.create(
                     [float(v) for v in a[4:7]], [float(v) for v in a[7:10]],
                     float(a[10]), float(a[11]) if len(a) > 11 else 0.0,
+                    mat=mat,
                 ))
             else:
                 raise DeckError(f"wall kind {a[3]} unsupported")

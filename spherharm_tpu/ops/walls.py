@@ -32,14 +32,20 @@ class PlaneWall:
     point: jax.Array
     normal: jax.Array
     velocity: jax.Array
+    # Optional per-wall material row [8] (kn, kt, gamma_n, gamma_t, mu,
+    # k_roll, gamma_roll, mu_roll) — LAMMPS fix wall/gran carries its
+    # own coefficients. None = use the global SimParams scalars.
+    mat: jax.Array | None = None
 
     @classmethod
-    def create(cls, point, normal, velocity=(0.0, 0.0, 0.0), dtype=jnp.float32):
+    def create(cls, point, normal, velocity=(0.0, 0.0, 0.0),
+               mat=None, dtype=jnp.float32):
         n = jnp.asarray(normal, dtype)
         return cls(
             point=jnp.asarray(point, dtype),
             normal=n / jnp.linalg.norm(n),
             velocity=jnp.asarray(velocity, dtype),
+            mat=None if mat is None else jnp.asarray(mat, dtype),
         )
 
     def depth_and_normal(self, p):
@@ -67,15 +73,18 @@ class CylinderWall:
     axis_dir: jax.Array
     radius: jax.Array
     omega: jax.Array
+    mat: jax.Array | None = None  # see PlaneWall.mat
 
     @classmethod
-    def create(cls, axis_point, axis_dir, radius, omega=0.0, dtype=jnp.float32):
+    def create(cls, axis_point, axis_dir, radius, omega=0.0,
+               mat=None, dtype=jnp.float32):
         ad = jnp.asarray(axis_dir, dtype)
         return cls(
             axis_point=jnp.asarray(axis_point, dtype),
             axis_dir=ad / jnp.linalg.norm(ad),
             radius=jnp.asarray(radius, dtype),
             omega=jnp.asarray(omega, dtype),
+            mat=None if mat is None else jnp.asarray(mat, dtype),
         )
 
     def depth_and_normal(self, p):
@@ -153,6 +162,18 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
     from spherharm_tpu.ops.contact import _unit_trig, eval_radius_trig
     from spherharm_tpu.ops.rotation import quat_rotate_inv
     from spherharm_tpu.ops.sh_math import surface_normal_trig
+
+    # Per-wall material row overrides the global scalars when present
+    # (LAMMPS fix wall/gran carries its own coefficients).
+    if wall.mat is not None:
+        w_kn, w_kt, w_gn, w_gt, w_mu, w_kr, w_gr, w_mur = (
+            wall.mat[k] for k in range(8))
+    else:
+        w_kn, w_kt, w_gn, w_gt, w_mu = (params.kn, params.kt,
+                                        params.gamma_n, params.gamma_t,
+                                        params.mu)
+        w_kr, w_gr, w_mur = (params.k_roll, params.gamma_roll,
+                             params.mu_roll)
 
     # Broad phase: bounding sphere vs wall.
     depth_c, n_c = wall.depth_and_normal(state.x)
@@ -244,28 +265,28 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
 
     poly = jnp.sqrt(jnp.maximum(delta * r_eff, 0.0))
     fn_mag = jnp.maximum(
-        poly * (params.kn * delta - m_eff * params.gamma_n * vn_mag), 0.0
+        poly * (w_kn * delta - m_eff * w_gn * vn_mag), 0.0
     )
     f_n = fn_mag[..., None] * n_hat
 
     xi = hist[:, 0:3]
     xi = xi - jnp.sum(xi * n_hat, axis=-1, keepdims=True) * n_hat
     xi = jnp.where(in_contact[:, None], xi + vt * params.dt, 0.0)
-    f_t = -poly[:, None] * (params.kt * xi + m_eff[:, None] * params.gamma_t * vt)
+    f_t = -poly[:, None] * (w_kt * xi + m_eff[:, None] * w_gt * vt)
     ft_mag = jnp.linalg.norm(f_t, axis=-1)
-    cap = params.mu * fn_mag
+    cap = w_mu * fn_mag
     over = ft_mag > jnp.maximum(cap, 1e-30)
     f_t = f_t * jnp.where(over, cap / jnp.maximum(ft_mag, 1e-30), 1.0)[:, None]
     xi = jnp.where(
         (over & (poly > 0))[:, None],
         -(f_t / jnp.maximum(poly, 1e-30)[:, None]
-          + m_eff[:, None] * params.gamma_t * vt) / params.kt,
+          + m_eff[:, None] * w_gt * vt) / w_kt,
         xi,
     )
 
     # Rolling resistance against the wall (wall angular velocity enters
     # the relative spin: a spinning drum rolls its bed up the side).
-    roll_on = (params.k_roll > 0) | (params.gamma_roll > 0)
+    roll_on = (w_kr > 0) | (w_gr > 0)
     dom = om - wall.angular_velocity()[None, :]
     v_roll = -r_eff[:, None] * jnp.cross(n_hat, dom)
     xi_r = hist[:, 3:6]
@@ -273,17 +294,17 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
     xi_r = jnp.where(
         (in_contact & roll_on)[:, None], xi_r + v_roll * params.dt, 0.0
     )
-    f_r = -(params.k_roll * xi_r + params.gamma_roll * v_roll)
+    f_r = -(w_kr * xi_r + w_gr * v_roll)
     fr_mag = jnp.linalg.norm(f_r, axis=-1)
-    cap_r = params.mu_roll * fn_mag
+    cap_r = w_mur * fn_mag
     over_r = fr_mag > jnp.maximum(cap_r, 1e-30)
     f_r = f_r * jnp.where(
         over_r, cap_r / jnp.maximum(fr_mag, 1e-30), 1.0
     )[:, None]
     xi_r = jnp.where(
-        (over_r & (params.k_roll > 0))[:, None],
-        -(f_r + params.gamma_roll * v_roll)
-        / jnp.maximum(params.k_roll, 1e-30),
+        (over_r & (w_kr > 0))[:, None],
+        -(f_r + w_gr * v_roll)
+        / jnp.maximum(w_kr, 1e-30),
         xi_r,
     )
     tau_roll = jnp.where(
@@ -292,6 +313,6 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
 
     force = jnp.where(in_contact[:, None], f_n + f_t, 0.0)
     torque = jnp.cross(centroid, force) + tau_roll
-    pe = jnp.where(in_contact, 0.4 * params.kn * jnp.sqrt(r_eff) * delta**2.5, 0.0)
+    pe = jnp.where(in_contact, 0.4 * w_kn * jnp.sqrt(r_eff) * delta**2.5, 0.0)
     new_hist = jnp.concatenate([xi, xi_r], axis=-1)
     return force, torque, new_hist, pe, jnp.sum(near.astype(jnp.int32))

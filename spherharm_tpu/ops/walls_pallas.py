@@ -344,9 +344,14 @@ def pack_wall(state, shapes, params, wall, hist, depth_c, n_c, om):
         p0, u0 = wall.axis_point, wall.axis_dir
         R = wall.radius
     z = jnp.zeros((), f32)
+    if wall.mat is not None:
+        mat8 = [wall.mat[k] for k in range(8)]
+    else:
+        mat8 = [params.kn, params.kt, params.gamma_n, params.gamma_t,
+                params.mu, params.k_roll, params.gamma_roll,
+                params.mu_roll]
     par = jnp.stack([
-        params.dt, params.kn, params.kt, params.gamma_n, params.gamma_t,
-        params.mu, params.k_roll, params.gamma_roll, params.mu_roll,
+        params.dt, *mat8,
         v0[0], v0[1], v0[2], Wv[0], Wv[1], Wv[2],
         p0[0], p0[1], p0[2], u0[0], u0[1], u0[2], R, z, z,
     ])[None, :].astype(f32)

@@ -99,3 +99,63 @@ def test_wall_kernel_with_compaction():
                                atol=2e-3 * fmag)
     np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref),
                                atol=2e-3 * fmag)
+
+
+def test_per_wall_material_override():
+    """A wall.mat row must act exactly like the same values as globals,
+    in BOTH the jnp and kernel paths — and differ from the global run."""
+    shapes, params, state, hist = _system(seed=6)
+    soft = [2e4, 8e3, 10.0, 5.0, 0.2, 0.0, 0.0, 0.0]
+    wall_soft = walls_mod.PlaneWall.create(
+        [0.0, 0.0, 0.5], [0.0, 0.0, 1.0], mat=soft,
+    )
+    wall_plain = walls_mod.PlaneWall.create([0.0, 0.0, 0.5], [0, 0, 1.0])
+    from spherharm_tpu.core.state import SimParams
+
+    params_soft = SimParams.create(
+        dt=1e-4, kn=soft[0], kt=soft[1], gamma_n=soft[2], gamma_t=soft[3],
+        mu=soft[4], cutoff=1.4, skin=0.2,
+    )
+    f_ref, t_ref, h_ref, pe_ref, _ = walls_mod.wall_contact(
+        state, shapes, params_soft, wall_plain, hist, exact=True,
+    )
+    for pall in (False, True):
+        f, t, h, pe, _ = walls_mod.wall_contact(
+            state, shapes, params, wall_soft, hist, exact=True,
+            use_pallas=pall,
+        )
+        fmag = max(float(np.abs(np.asarray(f_ref)).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                                   atol=2e-3 * fmag)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref),
+                                   atol=2e-3 * fmag)
+    # Sanity: the override differs from the global-params wall.
+    f_g, *_ = walls_mod.wall_contact(
+        state, shapes, params, wall_plain, hist, exact=True,
+    )
+    assert not np.allclose(np.asarray(f_g), np.asarray(f_ref),
+                           atol=1e-3 * fmag)
+
+
+def test_deck_wall_coeff():
+    from spherharm_tpu.io.deck import DeckRunner
+
+    deck = """
+units lj
+boundary f f f
+region box block -2 2 -2 2 0 4
+create_box 1 box
+shape 1 sphere 0.5
+pair_style spherharm 100000 28571 0 0 0
+timestep 2e-4
+create_atoms 1 single 0 0 0.45
+fix 1 all nve/sh
+fix 2 all wall/gran plane 0 0 0 0 0 1 coeff 30000 8571 0 0 0
+run 10
+"""
+    runner = DeckRunner().run_text(deck)
+    w = runner.sim.walls[0]
+    assert w.mat is not None
+    assert float(w.mat[0]) == pytest.approx(30000.0)
+    v = np.asarray(runner.state.v)[np.asarray(runner.state.active)]
+    assert v[0, 2] > 0  # pushed off the floor
