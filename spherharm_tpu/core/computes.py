@@ -111,6 +111,70 @@ def per_atom_stress(sim, state, neigh):
     return jnp.where(state.active[:, None, None], s, 0.0)
 
 
+def coordination(sim, state, neigh):
+    """Bounding-sphere coordination number per atom (compute coord/atom):
+    pairs of the stable list with center distance < rb_i + rb_j (the
+    touching-possible criterion; LAMMPS coord/atom with its cutoff)."""
+    from spherharm_tpu.ops import contact
+
+    N = state.cap
+    rows = contact.particle_rows(state, sim.shapes)
+    pi, pj = neigh.pair_i, neigh.pair_j
+    tilt = state.tilt if sim.triclinic else None
+    d = contact.minimum_image(
+        rows[pj][:, contact._RX] - rows[pi][:, contact._RX],
+        state.box_lo, state.box_hi, sim.periodic, tilt,
+    )
+    dist = jnp.linalg.norm(d, axis=-1)
+    rsum = rows[pi][:, contact._RRB] + rows[pj][:, contact._RRB]
+    hit = (
+        neigh.pair_valid
+        & (rows[pi][:, contact._RACT] > 0.5)
+        & (rows[pj][:, contact._RACT] > 0.5)
+        & (dist < rsum)
+    )
+    w = hit.astype(jnp.int32)
+    c = jax.ops.segment_sum(w, pi, num_segments=N,
+                            indices_are_sorted=True)
+    wj = (hit & neigh.pair_both).astype(jnp.int32)
+    perm = neigh.pair_jsort
+    c = c + jax.ops.segment_sum(wj[perm], pj[perm], num_segments=N,
+                                indices_are_sorted=True)
+    return jnp.where(state.active, c, 0)
+
+
+def contacts_per_atom(sim, state, neigh):
+    """True contact count per atom (compute contact/atom): re-runs the
+    narrow phase over the stable pair list at diagnostic cadence, like
+    stress/atom."""
+    from spherharm_tpu.ops import contact
+
+    N = state.cap
+    rows = contact.particle_rows(state, sim.shapes)
+    pi, pj = neigh.pair_i, neigh.pair_j
+    ri, rj = rows[pi], rows[pj]
+    msk = (
+        neigh.pair_valid
+        & (ri[:, contact._RACT] > 0.5)
+        & (rj[:, contact._RACT] > 0.5)
+    )
+    tilt = state.tilt if sim.triclinic else None
+    _, _, _, _, _, inc, _ = contact.pair_contact_rows(
+        ri, rj, state.shtype[pi], state.shtype[pj],
+        neigh.pair_hist, msk,
+        state.box_lo, state.box_hi, sim.shapes, sim.params,
+        exact=sim.exact_eval, periodic=sim.periodic, tilt=tilt,
+    )
+    w = inc.astype(jnp.int32)
+    c = jax.ops.segment_sum(w, pi, num_segments=N,
+                            indices_are_sorted=True)
+    wj = (inc & neigh.pair_both).astype(jnp.int32)
+    perm = neigh.pair_jsort
+    c = c + jax.ops.segment_sum(wj[perm], pj[perm], num_segments=N,
+                                indices_are_sorted=True)
+    return jnp.where(state.active, c, 0)
+
+
 def temperature(state, shapes):
     """Granular temperature: mean translational KE per dof (compute temp)."""
     n = jnp.maximum(jnp.sum(state.active), 1)
@@ -138,6 +202,8 @@ PERATOM_COMPUTES = {
     "ke/atom": lambda sim, st, ng: per_atom_ke(st, sim.shapes),
     "stress/atom": per_atom_stress,
     "omega/atom": lambda sim, st, ng: angular_speed(st, sim.shapes),
+    "coord/atom": coordination,
+    "contact/atom": contacts_per_atom,
 }
 
 

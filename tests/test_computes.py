@@ -103,3 +103,32 @@ run             50
     sa = r.compute("sa")
     n = int(r.state.n_active)
     assert np.asarray(sa).shape[0] >= n
+
+
+def test_coord_and_contact_atom():
+    """Two overlapping + one distant particle: coord counts bounding-
+    sphere proximity, contact counts true narrow-phase contacts."""
+    import numpy as np
+
+    from spherharm_tpu.core import computes
+    from spherharm_tpu.core.simulation import Simulation
+    from spherharm_tpu.core.state import SimParams
+    from spherharm_tpu.models import scenarios, shapes_library
+
+    lmax = 0
+    shapes = shapes_library.build_shapes(
+        [shapes_library.sphere_coeffs(0.5, lmax)], lmax,
+        contact_quad=(12, 24),
+    )
+    params = SimParams.create(dt=1e-4, kn=1e5, cutoff=1.1, skin=0.2)
+    state = scenarios.make_state(
+        [[0.0, 0, 0], [0.95, 0, 0], [3.0, 0, 0]],
+        [-1, -2, -2], [5, 2, 2],
+    )
+    sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=4,
+                     pair_capacity=16)
+    st, ng = sim.init_neighbors(state)
+    coord = np.asarray(computes.compute("coord/atom", sim, st, ng))
+    cont = np.asarray(computes.compute("contact/atom", sim, st, ng))
+    assert list(coord[:3]) == [1, 1, 0]
+    assert list(cont[:3]) == [1, 1, 0]
