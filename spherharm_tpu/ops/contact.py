@@ -762,12 +762,13 @@ def build_pair_list(state, shapes, params, neigh_idx, neigh_mask, hist,
 
 
 @partial(jax.jit, static_argnames=("keep_cap", "k_max", "window_steps",
-                                   "floor_frac", "periodic", "probe_chunk"))
+                                   "floor_frac", "periodic", "probe_chunk",
+                                   "axes"))
 def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
                         k_max: int, window_steps: int = 16,
                         floor_frac: float = 0.25,
                         periodic=(False, False, False), tilt=None,
-                        probe_chunk: int = 262144):
+                        probe_chunk: int = 262144, axes=None):
     """Rebuild-time narrow-phase prefilter: compact the bounding-sphere
     candidate pair list down to pairs that can actually touch before the
     next rebuild (the contact analogue of the Verlet skin).
@@ -869,6 +870,15 @@ def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
         / jnp.maximum(jnp.min(inert, axis=-1), 1e-30),
         0.0,
     ))
+    if axes is not None:
+        # Sharded: the slack maxima must be GLOBAL. A shard-local amax
+        # would give a ghost row a smaller budget than its owner
+        # recorded, so the owner's approach_ratio trigger could not
+        # protect the ghost-side pair survival margin (v/omega per
+        # particle are identical across copies via forward comm; only
+        # these two maxima differ).
+        amax = jax.lax.pmax(amax, axes)
+        alpmax = jax.lax.pmax(alpmax, axes)
     budget = jnp.clip(
         T * (speed + gmax_s * omag) + T * T * (amax + gmax_s * alpmax),
         floor_frac * params.skin,

@@ -500,6 +500,7 @@ class BrickSimulation(ShardedSimulation):
                 self.stage2_capacity, self.k_max,
                 window_steps=self._window_steps,
                 periodic=self.periodic_eff,
+                axes=self._axes,
             )
             neigh = neigh.replace(budget=budget)
         # Per-source gating (see ShardedSimulation._rebuild): nonzero

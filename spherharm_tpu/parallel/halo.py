@@ -709,6 +709,7 @@ class ShardedSimulation:
                 self.stage2_capacity, self.k_max,
                 window_steps=self._window_steps,
                 periodic=self.periodic_eff,
+                axes=self._axes,
                 tilt=self._tilt(state),
             )
             neigh = neigh.replace(budget=budget)
