@@ -1,14 +1,24 @@
+"""Kernel-layout microbench: power-basis SH eval layouts on real TPU.
+
+Compares [B, G]-plane vs transposed Horner layouts for the power-basis
+radius/gradient chain (ops/sh_power.py) in isolation from the full
+contact kernel — the experiment that chose the current layout. Run on
+TPU only; takes ~a minute.
+"""
+
 import sys
+import time
+
 sys.path.insert(0, ".")
-import numpy as np, jax, jax.numpy as jnp, time
-from functools import partial
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-from spherharm_tpu.models import shapes_library
-from spherharm_tpu.ops import sh_power
-from spherharm_tpu.ops.contact_pallas import _radius_grad_power
-import sys
-sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from spherharm_tpu.ops import sh_power  # noqa: E402
+from spherharm_tpu.ops.contact_pallas import _radius_grad_power  # noqa: E402
 
 lmax = 8
 lay = sh_power.power_layout(lmax)
