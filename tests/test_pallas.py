@@ -176,7 +176,11 @@ def test_two_stage_matches_single_stage():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sa.tau), np.asarray(sb.tau),
                                rtol=1e-6, atol=1e-6)
+    # Pair lists differ in size/order (the prefiltered list is the
+    # stage-2 compaction); springs must agree in the dense tag-keyed
+    # layout both fold back into.
     np.testing.assert_allclose(
-        np.asarray(na.pair_hist), np.asarray(nb.pair_hist),
+        np.asarray(contact.pair_hist_to_dense(na)),
+        np.asarray(contact.pair_hist_to_dense(nb)),
         rtol=1e-6, atol=1e-9,
     )
