@@ -61,11 +61,16 @@ def test_pressure_servo_reaches_target():
         p_hist.append(float(sim.thermo(state, neigh)["press"]))
     box1 = float(state.box_hi[0] - state.box_lo[0])
     assert box1 < box0  # servo compressed the loose cell
-    # Pressure approached the target from below (within a factor).
-    assert p_hist[-1] > 0.3 * target
-    assert p_hist[-1] < 3.0 * target
-    # and moved monotonically closer overall
-    assert abs(p_hist[-1] - target) < abs(p_hist[0] - target)
+    # Instantaneous pressure of a 64-particle cell fluctuates ~10x
+    # sample to sample (the trajectory is chaotic: bit-level force
+    # reassociation re-rolls individual samples), so assert on the
+    # MEDIAN of the second half — the quantity the servo actually
+    # regulates on its own timescale.
+    p_late = float(np.median(p_hist[4:]))
+    assert p_late > 0.3 * target
+    assert p_late < 3.0 * target
+    # and moved closer to the target overall
+    assert abs(p_late - target) < abs(p_hist[0] - target)
 
 
 def test_triaxial_sharded_matches_single():
