@@ -838,6 +838,19 @@ class DeckRunner:
             every, path, cols, started = d
             if every and step % every == 0:
                 kw = {"columns": cols} if cols else {}
+                # Per-atom compute references (LAMMPS `c_<id>` columns).
+                extra = {}
+                for c in cols or ():
+                    if c.startswith("c_"):
+                        vals = self.compute(c[2:])
+                        if getattr(vals, "ndim", 1) != 1:
+                            raise DeckError(
+                                f"dump column {c}: only scalar per-atom "
+                                "computes are supported"
+                            )
+                        extra[c] = vals
+                if extra:
+                    kw["extra"] = extra
                 write_dump(path, self.state, self.sim.shapes,
                            periodic=self.periodic, append=started, **kw)
                 d[3] = True

@@ -27,8 +27,12 @@ DEFAULT_COLUMNS = (
 )
 
 
-def _column_data(state, shapes, columns):
-    """Assemble per-particle columns (host-side numpy)."""
+def _column_data(state, shapes, columns, extra=None):
+    """Assemble per-particle columns (host-side numpy).
+
+    ``extra``: dict of additional [cap]-sized per-particle arrays (e.g.
+    per-atom compute values referenced as ``c_<id>`` dump columns).
+    """
     act = np.asarray(state.active)
     sel = np.flatnonzero(act)
     x = np.asarray(state.x)[sel]
@@ -48,12 +52,14 @@ def _column_data(state, shapes, columns):
         "radius": rchar * scale,
         "scale": scale,
     }
+    for name, arr in (extra or {}).items():
+        pools[name] = np.asarray(arr)[sel]
     order = np.argsort(tag)
     return {c: pools[c][order] for c in columns}
 
 
 def write_dump(path, state, shapes, periodic=(False, False, False),
-               columns=DEFAULT_COLUMNS, append=False):
+               columns=DEFAULT_COLUMNS, append=False, extra=None):
     """Write one snapshot in LAMMPS dump custom text format.
 
     Row formatting goes through the native C++ formatter when available
@@ -62,7 +68,7 @@ def write_dump(path, state, shapes, periodic=(False, False, False),
     """
     from spherharm_tpu import native
 
-    cols = _column_data(state, shapes, columns)
+    cols = _column_data(state, shapes, columns, extra=extra)
     n = len(cols[columns[0]])
     lo = np.asarray(state.box_lo)
     hi = np.asarray(state.box_hi)

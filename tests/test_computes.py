@@ -132,3 +132,36 @@ def test_coord_and_contact_atom():
     cont = np.asarray(computes.compute("contact/atom", sim, st, ng))
     assert list(coord[:3]) == [1, 1, 0]
     assert list(cont[:3]) == [1, 1, 0]
+
+
+def test_dump_peratom_compute_column(tmp_path):
+    """LAMMPS `dump custom ... c_<id>` columns: per-atom compute values
+    ride the dump rows."""
+    import numpy as np
+
+    from spherharm_tpu.io.deck import DeckRunner
+    from spherharm_tpu.io.dump import read_dump
+
+    out = tmp_path / "c.dump"
+    deck = f"""
+units lj
+boundary f f f
+region box block -2 2 -2 2 -2 2
+create_box 1 box
+shape 1 sphere 0.5
+pair_style spherharm 100000 28571 0 0 0
+timestep 2e-4
+create_atoms 1 single -0.45 0 0
+create_atoms 1 single 0.45 0 0
+compute 1 all coord/atom
+fix 1 all nve/sh
+dump 1 all custom 10 {out} id x c_1
+run 10
+"""
+    runner = DeckRunner().run_text(deck)
+    frames = read_dump(out)
+    assert len(frames) >= 1
+    last = frames[-1]
+    assert "c_1" in last["columns"]
+    col = np.asarray(last["data"]["c_1"])
+    assert list(col) == [1.0, 1.0]  # both in bounding-sphere contact
