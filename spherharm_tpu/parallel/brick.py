@@ -212,13 +212,15 @@ class BrickSimulation(ShardedSimulation):
             perm = [(i, (i + 1) % n) for i in range(n)]
         return jax.lax.ppermute(val, axis, perm)
 
-    def _edges(self, state, axis: str):
-        """(lo, hi) of this shard's window along the axis' coordinate
-        (weighted fractions of the CURRENT box, so deformation rescales
-        them automatically)."""
+    def _edges(self, state, axis: str, fr):
+        """(lo, hi) of this shard's window along the axis' coordinate.
+        ``fr`` is the TRACED per-axis boundary array riding that axis'
+        GhostPack (in-run rebalance swaps it, no recompile), as weighted
+        fractions of the CURRENT box, so deformation rescales them
+        automatically."""
         dim = "xyz".index(axis)
         idx = jax.lax.axis_index(axis)
-        fr = jnp.asarray(self.bounds_frac[axis], state.x.dtype)
+        fr = fr.astype(state.x.dtype)
         L = state.box_hi[dim] - state.box_lo[dim]
         lo = state.box_lo[dim] + fr[idx] * L
         hi = state.box_lo[dim] + fr[idx + 1] * L
@@ -243,9 +245,9 @@ class BrickSimulation(ShardedSimulation):
         hi_send = jnp.where(idx == n - 1, -L, 0.0)
         return (lo_send.astype(state.x.dtype), hi_send.astype(state.x.dtype))
 
-    def _membership(self, coords, active, axis: str, state):
+    def _membership(self, coords, active, axis: str, state, fr):
         """Halo senders along one axis: rows within halo_depth of a face."""
-        lo, hi = self._edges(state, axis)
+        lo, hi = self._edges(state, axis, fr)
         near_l = active & (coords < lo + self.halo_depth) & self._has_lo(axis)
         near_r = active & (coords >= hi - self.halo_depth) & self._has_hi(axis)
         il, vl = _select_fill(near_l, self.halo_cap)
@@ -278,25 +280,25 @@ class BrickSimulation(ShardedSimulation):
 
     # -- migration (one phase per axis) --------------------------------------
 
-    def _tgt_axis(self, state, axis: str):
+    def _tgt_axis(self, state, axis: str, fr):
         dim = "xyz".index(axis)
         n = self._ax_size(axis)
         L = state.box_hi[dim] - state.box_lo[dim]
         f = (state.x[:, dim] - state.box_lo[dim]) / L
-        fr = jnp.asarray(self.bounds_frac[axis][1:-1], state.x.dtype)
+        fr = fr[1:-1].astype(state.x.dtype)
         # Weighted binning: count interior boundaries at or below f.
         tgt = jnp.sum(
             (f[:, None] >= fr[None, :]).astype(jnp.int32), axis=1
         ) if n > 1 else jnp.zeros(f.shape, jnp.int32)
         return jnp.clip(tgt, 0, n - 1)
 
-    def _migrate_axis(self, state, neigh, axis: str):
+    def _migrate_axis(self, state, neigh, axis: str, fr):
         """One 1D migration phase along a mesh axis (halo.py's _migrate
         with the axis generalized; history rows ride identically)."""
         idx = jax.lax.axis_index(axis)
         n = self._ax_size(axis)
         M = self.migrate_cap
-        tgt = self._tgt_axis(state, axis)
+        tgt = self._tgt_axis(state, axis, fr)
         moving = state.active & (tgt != idx) & (n > 1)
         go_left = moving & (tgt == (idx - 1) % n) & self._has_lo(axis)
         go_right = (
@@ -372,10 +374,60 @@ class BrickSimulation(ShardedSimulation):
         )
         return state, neigh, mig_overflow
 
-    def _migrate(self, state, neigh):
+    def rebalance(self, state, neigh, ghosts):
+        """Per-axis in-run rebalance for the brick: marginal quantile
+        cuts along each sharded mesh axis (the product-cut analogue of
+        the reference's RCB balancer), with the same no-recompile
+        traced-bounds mechanics and clamps as the slab version
+        (ShardedSimulation.rebalance): each boundary stays strictly
+        inside its old neighbors (owner moves <= 1 shard per axis — one
+        forced rebuild's per-axis migration phases route it) and every
+        window stays halo-legal and bin-grid-legal."""
+        from spherharm_tpu.parallel.halo import _rebalance_jit
+
+        xs = np.asarray(jax.device_get(state.x))
+        act = np.asarray(jax.device_get(state.active))
+        cutoff_total = float(self.params.cutoff + self.params.skin)
+        new_ghosts = []
+        for k, ax in enumerate(self._axes):
+            dim = "xyz".index(ax)
+            n = self._ax_size(ax)
+            old = np.asarray(jax.device_get(ghosts[k].fracs), np.float64)
+            if n < 2:
+                new_ghosts.append(ghosts[k])
+                continue
+            lo = float(np.asarray(state.box_lo)[dim])
+            hi = float(np.asarray(state.box_hi)[dim])
+            L = hi - lo
+            xf = np.clip((xs[act, dim] - lo) / L, 0.0, 1.0)
+            qs = np.quantile(xf, np.linspace(0.0, 1.0, n + 1))
+            qs[0], qs[-1] = 0.0, 1.0
+            min_w = max(self.halo_depth,
+                        self.grid_dims[dim] * cutoff_total
+                        - 2 * self.halo_depth)
+            min_frac = min_w / L * (1.0 + 1e-3)
+            for i in range(1, n):
+                qs[i] = np.clip(qs[i], old[i - 1] + min_frac,
+                                old[i + 1] - min_frac)
+            for i in range(1, n):
+                qs[i] = max(qs[i], qs[i - 1] + min_frac)
+            for i in range(n - 1, 0, -1):
+                qs[i] = min(qs[i], qs[i + 1] - min_frac)
+            if np.any(np.diff(qs) <= 0):
+                raise ValueError(
+                    f"rebalance: no halo-legal bounds on axis {ax} "
+                    f"(min_frac={min_frac:.3g}, n={n})"
+                )
+            new_ghosts.append(ghosts[k].replace(
+                fracs=jnp.asarray(qs, ghosts[k].fracs.dtype)
+            ))
+        return _rebalance_jit(self, state, neigh, tuple(new_ghosts))
+
+    def _migrate(self, state, neigh, fracs):
         ovf = jnp.asarray(0, jnp.int32)
         for ax in self._axes:
-            state, neigh, o = self._migrate_axis(state, neigh, ax)
+            state, neigh, o = self._migrate_axis(state, neigh, ax,
+                                                 fracs[ax])
             ovf = jnp.maximum(ovf, o)
         return state, neigh, ovf
 
@@ -410,9 +462,11 @@ class BrickSimulation(ShardedSimulation):
 
     # -- halo build / refresh ------------------------------------------------
 
-    def _build_ghosts(self, state: State):
+    def _build_ghosts(self, state: State, fracs):
         """Multi-phase halo: axis-k faces of owned + earlier ghosts, so
-        edge/corner ghosts ride the later phases."""
+        edge/corner ghosts ride the later phases. ``fracs``: per-axis
+        traced boundary arrays; each phase's pack carries its axis'
+        array (in-run rebalance swaps them, no recompile)."""
         send_f = ("x", "v", "q", "angmom", "scale", "shtype", "tag")
         ext = {f: getattr(state, f) for f in send_f}
         act = state.active
@@ -421,7 +475,7 @@ class BrickSimulation(ShardedSimulation):
         for ax in self._axes:
             dim = "xyz".index(ax)
             s_idx, s_mask, o = self._membership(
-                ext["x"][:, dim], act, ax, state
+                ext["x"][:, dim], act, ax, state, fracs[ax]
             )
             recv, g_act = self._ship_fields(ext, s_idx, s_mask, ax, state)
             g = GhostPack(
@@ -429,6 +483,7 @@ class BrickSimulation(ShardedSimulation):
                 angmom=recv["angmom"], scale=recv["scale"],
                 shtype=recv["shtype"], tag=recv["tag"],
                 active=g_act, send_idx=s_idx, send_mask=s_mask,
+                fracs=fracs[ax],
             )
             ghosts.append(g)
             ovf = jnp.maximum(ovf, o)
@@ -461,15 +516,16 @@ class BrickSimulation(ShardedSimulation):
         state = state.replace(x=x, image=image)
         if fold:
             neigh = neigh.replace(hist=contact.pair_hist_to_dense(neigh))
-        state, neigh, mig_ovf = self._migrate(state, neigh)
+        fracs = {ax: g.fracs for ax, g in zip(self._axes, ghosts)}
+        state, neigh, mig_ovf = self._migrate(state, neigh, fracs)
 
-        ghosts, halo_ovf = self._build_ghosts(state)
+        ghosts, halo_ovf = self._build_ghosts(state, fracs)
         ext = self._extend(state, ghosts)
 
         lo3, hi3 = [], []
         for d, ax in enumerate("xyz"):
             if ax in self._axes:
-                lo, hi = self._edges(state, ax)
+                lo, hi = self._edges(state, ax, fracs[ax])
                 lo3.append(lo - self.halo_depth)
                 hi3.append(hi + self.halo_depth)
             else:
@@ -624,8 +680,8 @@ class BrickSimulation(ShardedSimulation):
             jax.tree.map(
                 lambda a: jnp.concatenate([a] * P_, axis=0),
                 empty_ghosts(self.halo_cap, dtype),
-            )
-            for _ in range(self.n_axes)
+            ).replace(fracs=jnp.asarray(self.bounds_frac[ax], dtype))
+            for ax in self._axes
         )
         sharding = NamedSharding(self.mesh, P(self._axes))
 

@@ -105,7 +105,7 @@ class GhostPack:
     # [S+1] slab boundaries as box FRACTIONS, replicated across shards.
     # A traced leaf (not a baked constant) so in-run rebalancing
     # (ShardedSimulation.rebalance) only swaps the array — no recompile.
-    # None for decompositions that keep static bounds (the brick).
+    # The brick carries ONE AXIS' boundaries per phase pack.
     fracs: jax.Array | None = None
 
 

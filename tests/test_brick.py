@@ -264,3 +264,51 @@ def test_brick2d_gather_restart_roundtrip(tmp_path):
         dx = (b[t] - a[t] + L / 2) % L - L / 2
         np.testing.assert_allclose(dx, 0.0, atol=2e-3,
                                    err_msg=f"x tag {t}")
+
+
+def test_brick_inrun_rebalance():
+    """Mid-run per-axis rebalance on a 2x2 brick: bounds move via the
+    traced per-phase fracs leaves, ownership migrates in one forced
+    rebuild, trajectory still matches the single-device reference."""
+    shapes, params, state0, box = _setup(n=64, seed=9)
+    periodic = (True, True, True)
+
+    grid = CellGrid([0, 0, 0], [box] * 3, 1.5, periodic)
+    sim1 = Simulation(
+        shapes, params, periodic=periodic, neighbor_mode="cell",
+        grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+    )
+    s1, n1 = sim1.init_neighbors(state0)
+    s1, n1 = sim1.run(s1, n1, 50)
+    s1, n1 = sim1.run(s1, n1, 50)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    simb = BrickSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+        box_hi=(box, box, box),
+        cap_local=96, halo_cap=64, migrate_cap=32,
+        periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+    )
+    sb, ngb, ghb = simb.init(state0)
+    sb, ngb, ghb = simb.run(sb, ngb, ghb, 50)
+    fr_before = [np.asarray(jax.device_get(g.fracs)) for g in ghb]
+    sb, ngb, ghb = simb.rebalance(sb, ngb, ghb)
+    fr_after = [np.asarray(jax.device_get(g.fracs)) for g in ghb]
+    assert any(
+        not np.allclose(a, b) for a, b in zip(fr_before, fr_after)
+    )
+    sb, ngb, ghb = simb.run(sb, ngb, ghb, 50)
+    tb = simb.thermo(sb, ngb, ghb)
+    assert int(tb["neigh_overflow"]) <= 64
+
+    def by_tag(st):
+        tags = np.asarray(st.tag)
+        act = np.asarray(st.active)
+        arr = np.asarray(st.x)
+        return {int(t): arr[i] for i, t in enumerate(tags) if act[i]}
+
+    a, b = by_tag(s1), by_tag(sb)
+    assert set(a.keys()) == set(b.keys())
+    for t in a:
+        np.testing.assert_allclose(b[t], a[t], atol=3e-3,
+                                   err_msg=f"x mismatch tag {t}")
