@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from spherharm_tpu.core import state as state_mod
 from spherharm_tpu.ops import sh_power
 
@@ -846,10 +848,17 @@ def stage1_depth_pallas(packed, ti1, tj1, cap1, lmax: int, l1: int = 4,
     return out[:P, 0]
 
 
+# Hot-kernel block length. 64 was the VMEM ceiling with the unrolled
+# ALP chain; the power-basis tables may admit 128 (fewer grid steps,
+# better VPU occupancy) — sweep via env on real hardware.
+_KBLOCK = int(os.environ.get("SPHERHARM_KBLOCK", "64"))
+
+
 @partial(jax.jit, static_argnames=("lmax", "block", "interpret",
                                    "conservative"))
 def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
-                        block: int = 64, interpret: bool | None = None,
+                        block: int | None = None,
+                        interpret: bool | None = None,
                         conservative: bool = False):
     """Run the fused kernel. packed: [P, _F]; ti/tj: [P, W] pre-scaled
     power-table rows (ops/sh_power.py); cap: [4, G]; par: [1, _NPAR].
@@ -860,6 +869,8 @@ def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
 
     ``conservative=True`` evaluates the elastic force/torques as the
     exact in-kernel vjp of the sampled PE (see _make_kernel)."""
+    if block is None:
+        block = _KBLOCK
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     P = packed.shape[0]
