@@ -11,12 +11,15 @@ import time
 
 sys.path.insert(0, ".")
 
+from functools import partial  # noqa: E402
+
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
+from spherharm_tpu.models import shapes_library  # noqa: E402
 from spherharm_tpu.ops import sh_power  # noqa: E402
 from spherharm_tpu.ops.contact_pallas import _radius_grad_power  # noqa: E402
 

@@ -113,34 +113,28 @@ def per_atom_stress(sim, state, neigh):
 
 def coordination(sim, state, neigh):
     """Bounding-sphere coordination number per atom (compute coord/atom):
-    pairs of the stable list with center distance < rb_i + rb_j (the
-    touching-possible criterion; LAMMPS coord/atom with its cutoff)."""
+    neighbors with center distance < rb_i + rb_j (the touching-possible
+    criterion; LAMMPS coord/atom with its cutoff).
+
+    Counts over the FULL [N, K] Verlet tensor, not the stable pair
+    list — the rebuild-cadence prefilter culls surface-separated pairs
+    from the latter, which would silently undercount aspherical
+    coordination (the Verlet list keeps every bounding-sphere
+    candidate)."""
     from spherharm_tpu.ops import contact
 
-    N = state.cap
-    rows = contact.particle_rows(state, sim.shapes)
-    pi, pj = neigh.pair_i, neigh.pair_j
+    idx, mask = neigh.idx[: state.cap], neigh.mask[: state.cap]
+    rb = sim.shapes.rmax[state.shtype] * state.scale
     tilt = state.tilt if sim.triclinic else None
     d = contact.minimum_image(
-        rows[pj][:, contact._RX] - rows[pi][:, contact._RX],
+        state.x[idx] - state.x[:, None, :],
         state.box_lo, state.box_hi, sim.periodic, tilt,
     )
-    dist = jnp.linalg.norm(d, axis=-1)
-    rsum = rows[pi][:, contact._RRB] + rows[pj][:, contact._RRB]
-    hit = (
-        neigh.pair_valid
-        & (rows[pi][:, contact._RACT] > 0.5)
-        & (rows[pj][:, contact._RACT] > 0.5)
-        & (dist < rsum)
-    )
-    w = hit.astype(jnp.int32)
-    c = jax.ops.segment_sum(w, pi, num_segments=N,
-                            indices_are_sorted=True)
-    wj = (hit & neigh.pair_both).astype(jnp.int32)
-    perm = neigh.pair_jsort
-    c = c + jax.ops.segment_sum(wj[perm], pj[perm], num_segments=N,
-                                indices_are_sorted=True)
-    return jnp.where(state.active, c, 0)
+    dist2 = jnp.sum(d * d, axis=-1)
+    rsum = rb[:, None] + rb[idx]
+    hit = mask & (dist2 < rsum * rsum)
+    return jnp.where(state.active, jnp.sum(hit.astype(jnp.int32), axis=1),
+                     0)
 
 
 def contacts_per_atom(sim, state, neigh):

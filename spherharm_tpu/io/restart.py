@@ -57,9 +57,18 @@ def read_restart(path):
     state = State(**{f: jnp.asarray(z[f"state.{f}"]) for f in _STATE_FIELDS})
     neigh = None
     if f"neigh.{_NEIGH_FIELDS[0]}" in z.files:
-        neigh = NeighborState(
-            **{f: jnp.asarray(z[f"neigh.{f}"]) for f in _NEIGH_FIELDS}
-        )
+        nvals = {f: jnp.asarray(z[f"neigh.{f}"]) for f in _NEIGH_FIELDS
+                 if f"neigh.{f}" in z.files}
+        # Fields added after a file was written get structural defaults
+        # (restart written before the prefilter: identity orientation
+        # reference, zero budgets — the first rebuild refreshes both).
+        cap = nvals["x_build"].shape[0]
+        dt = nvals["x_build"].dtype
+        if "q_build" not in nvals:
+            nvals["q_build"] = jnp.zeros((cap, 4), dt).at[:, 0].set(1.0)
+        if "budget" not in nvals:
+            nvals["budget"] = jnp.zeros((cap,), dt)
+        neigh = NeighborState(**nvals)
     pvals = {f: jnp.asarray(z[f"params.{f}"]) for f in _PARAM_FIELDS
              if f"params.{f}" in z.files}
     if "pair_tab" not in pvals:

@@ -207,12 +207,25 @@ def build_shapes(
     ymax = math.sqrt((2 * lmax + 1) / (4.0 * math.pi))
     tail1 = ymax * np.sum(np.abs(coeffs[:, n_coeffs(l1):]), axis=1)
     # Max tangential surface gradient (rotation skin bound; 0 = sphere).
-    gt_fine = np.sqrt(
-        node_drt**2
-        + (node_drp / np.maximum(np.abs(np.sin(cq.theta[None, :])), 1e-3))
-        ** 2
-    )
-    gmax = gt_fine.max(axis=1) * 1.05
+    # Sampled on a DENSE uniform grid (not the coarse contact-quad
+    # nodes, whose peaks can fall between samples for rough lmax=8
+    # blobs) — a too-small gmax silently voids the prefilter's
+    # rotation-trigger guarantee. The grid step bounds the missed-peak
+    # error: with ~24 samples per max oscillation (lmax=8 on a 96x192
+    # grid), the 1.1 margin dominates it.
+    th_d = np.linspace(1e-3, math.pi - 1e-3, 96)
+    ph_d = np.linspace(0.0, 2.0 * math.pi, 192, endpoint=False)
+    thg, phg = np.meshgrid(th_d, ph_d, indexing="ij")
+    gmax = np.zeros(coeffs.shape[0])
+    for t in range(coeffs.shape[0]):
+        _, drt_d, drp_d = sh_power.eval_power_np(
+            power_tbl[t], thg.ravel(), phg.ravel(), lmax
+        )
+        gt_d = np.sqrt(
+            drt_d**2 + (drp_d / np.maximum(np.abs(
+                np.sin(thg.ravel())), 1e-3))**2
+        )
+        gmax[t] = float(gt_d.max()) * 1.1
 
     f = lambda a: jnp.asarray(a, dtype)
     return Shapes(

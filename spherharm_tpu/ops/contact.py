@@ -829,7 +829,7 @@ def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
         hist_b = jnp.zeros((pi_b.shape[0], hw), dp_b.dtype)
         packed, _, _, cap, _ = contact_pallas.pack_pairs(
             state, shapes, params, pi_b, pj_b, msk_b, hist_b, dp_b,
-            rows=rows,
+            rows=rows, probe_only=True,
         )
         packed = packed.at[:, tail_lo].set(0.0)
         ti_ab = shapes.power_tbl[state.shtype[pi_b], :nc_ab] \

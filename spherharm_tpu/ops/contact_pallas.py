@@ -558,7 +558,8 @@ def _make_kernel(lmax: int, conservative: bool = False):
         xi = tuple(
             jnp.where(
                 over & (poly > 0),
-                -(f_t[k] * inv_poly + m_eff * gt * vt[k]) / kt,
+                -(f_t[k] * inv_poly + m_eff * gt * vt[k])
+                / jnp.maximum(kt, 1e-30),
                 xi[k],
             )
             for k in range(3)
@@ -914,7 +915,8 @@ def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
     return out[:P]
 
 
-def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None):
+def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None,
+               probe_only: bool = False):
     """Build the kernel inputs from the packed particle-row table.
 
     The first 17 columns of ``contact.particle_rows`` (x, v, q, om, m,
@@ -936,7 +938,13 @@ def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None):
     ri = rows[pi][:, :17].astype(jnp.float32)
     rj = rows[pj][:, :17].astype(jnp.float32)
     tail = (shapes.tail1[ti_t] * si + shapes.tail1[tj_t] * sj)
-    mat = state_mod.pair_material(params, ti_t, tj_t)
+    if probe_only:
+        # The r-only probe reads neither the material columns nor the
+        # dynamics history — skip the [P, 8] table gather at
+        # candidate-list scale (rebuild-cadence prefilter).
+        mat = jnp.zeros((pi.shape[0], 8), jnp.float32)
+    else:
+        mat = state_mod.pair_material(params, ti_t, tj_t)
     packed = jnp.concatenate(
         [ri, rj, hist.astype(jnp.float32),
          mask.astype(jnp.float32)[:, None], d.astype(jnp.float32),

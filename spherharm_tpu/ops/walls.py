@@ -280,7 +280,7 @@ def wall_contact(state, shapes, params, wall, hist, wall_cap: int = 0,
     xi = jnp.where(
         (over & (poly > 0))[:, None],
         -(f_t / jnp.maximum(poly, 1e-30)[:, None]
-          + m_eff[:, None] * w_gt * vt) / w_kt,
+          + m_eff[:, None] * w_gt * vt) / jnp.maximum(w_kt, 1e-30),
         xi,
     )
 

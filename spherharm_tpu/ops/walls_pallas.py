@@ -209,7 +209,8 @@ def _make_wall_kernel(lmax: int, kind: str):
         xi = tuple(
             jnp.where(
                 over & (poly > 0),
-                -(f_t[k] * inv_poly + m_eff * gt * vt[k]) / kt,
+                -(f_t[k] * inv_poly + m_eff * gt * vt[k])
+                / jnp.maximum(kt, 1e-30),
                 xi[k],
             )
             for k in range(3)

@@ -383,41 +383,34 @@ class BrickSimulation(ShardedSimulation):
         inside its old neighbors (owner moves <= 1 shard per axis — one
         forced rebuild's per-axis migration phases route it) and every
         window stays halo-legal and bin-grid-legal."""
-        from spherharm_tpu.parallel.halo import _rebalance_jit
+        from spherharm_tpu.parallel.halo import (
+            _rebalance_jit,
+            clamped_quantile_fracs,
+        )
 
         xs = np.asarray(jax.device_get(state.x))
         act = np.asarray(jax.device_get(state.active))
+        # The brick is orthogonal-only (no triclinic tilt), so there is
+        # no tilt_pad term in its halo depth, unlike the slab version.
         cutoff_total = float(self.params.cutoff + self.params.skin)
         new_ghosts = []
         for k, ax in enumerate(self._axes):
             dim = "xyz".index(ax)
             n = self._ax_size(ax)
-            old = np.asarray(jax.device_get(ghosts[k].fracs), np.float64)
             if n < 2:
                 new_ghosts.append(ghosts[k])
                 continue
+            old = np.asarray(jax.device_get(ghosts[k].fracs), np.float64)
             lo = float(np.asarray(state.box_lo)[dim])
             hi = float(np.asarray(state.box_hi)[dim])
             L = hi - lo
             xf = np.clip((xs[act, dim] - lo) / L, 0.0, 1.0)
-            qs = np.quantile(xf, np.linspace(0.0, 1.0, n + 1))
-            qs[0], qs[-1] = 0.0, 1.0
             min_w = max(self.halo_depth,
                         self.grid_dims[dim] * cutoff_total
                         - 2 * self.halo_depth)
-            min_frac = min_w / L * (1.0 + 1e-3)
-            for i in range(1, n):
-                qs[i] = np.clip(qs[i], old[i - 1] + min_frac,
-                                old[i + 1] - min_frac)
-            for i in range(1, n):
-                qs[i] = max(qs[i], qs[i - 1] + min_frac)
-            for i in range(n - 1, 0, -1):
-                qs[i] = min(qs[i], qs[i + 1] - min_frac)
-            if np.any(np.diff(qs) <= 0):
-                raise ValueError(
-                    f"rebalance: no halo-legal bounds on axis {ax} "
-                    f"(min_frac={min_frac:.3g}, n={n})"
-                )
+            qs = clamped_quantile_fracs(
+                xf, old, n, min_w / L * (1.0 + 1e-3)
+            )
             new_ghosts.append(ghosts[k].replace(
                 fracs=jnp.asarray(qs, ghosts[k].fracs.dtype)
             ))

@@ -88,6 +88,30 @@ def balance_fracs(state_global, n_shards: int, min_frac: float = 0.0,
     return qs
 
 
+def clamped_quantile_fracs(xf, old, n: int, min_frac: float):
+    """Equal-count boundary fractions for one axis, clamped for in-run
+    rebalancing: each interior boundary stays strictly inside its OLD
+    neighbors (ownership moves at most one shard — routable by the
+    +/-1-hop migration ring in one forced rebuild) and every window
+    keeps at least ``min_frac`` width (halo + bin-grid legality).
+    Shared by the slab and brick rebalancers."""
+    qs = np.quantile(xf, np.linspace(0.0, 1.0, n + 1))
+    qs[0], qs[-1] = 0.0, 1.0
+    for i in range(1, n):
+        qs[i] = np.clip(qs[i], old[i - 1] + min_frac,
+                        old[i + 1] - min_frac)
+    for i in range(1, n):          # monotone + min width, L->R
+        qs[i] = max(qs[i], qs[i - 1] + min_frac)
+    for i in range(n - 1, 0, -1):  # R->L
+        qs[i] = min(qs[i], qs[i + 1] - min_frac)
+    if np.any(np.diff(qs) <= 0):
+        raise ValueError(
+            f"rebalance could not find halo-legal bounds "
+            f"(min_frac={min_frac:.3g}, n={n})"
+        )
+    return qs
+
+
 @struct.dataclass
 class GhostPack:
     """Ghost mirrors + forward-comm routing (rebuilt at each re-neighbor)."""
@@ -909,26 +933,13 @@ class ShardedSimulation:
         Lx = hi - lo
         xf = np.clip((xs[act, 0] - lo) / Lx, 0.0, 1.0)
         S = self.n_shards
-        qs = np.quantile(xf, np.linspace(0.0, 1.0, S + 1))
-        qs[0], qs[-1] = 0.0, 1.0
         cutoff_total = float(self.params.cutoff + self.params.skin) \
             + self.tilt_pad
         min_w = max(self.halo_depth,
                     self.grid_dims[0] * cutoff_total - 2 * self.halo_depth)
         min_frac = min_w / Lx * (1.0 + 1e-3)
         old = np.asarray(jax.device_get(ghosts.fracs), np.float64)
-        for i in range(1, S):
-            qs[i] = np.clip(qs[i], old[i - 1] + min_frac,
-                            old[i + 1] - min_frac)
-        for i in range(1, S):          # monotone + min width, L->R
-            qs[i] = max(qs[i], qs[i - 1] + min_frac)
-        for i in range(S - 1, 0, -1):  # R->L
-            qs[i] = min(qs[i], qs[i + 1] - min_frac)
-        if np.any(np.diff(qs) <= 0):
-            raise ValueError(
-                "rebalance could not find halo-legal bounds "
-                f"(min_frac={min_frac:.3g}, S={S})"
-            )
+        qs = clamped_quantile_fracs(xf, old, S, min_frac)
         ghosts = ghosts.replace(
             fracs=jnp.asarray(qs, ghosts.fracs.dtype)
         )
