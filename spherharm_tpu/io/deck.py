@@ -205,6 +205,7 @@ class DeckRunner:
         self.lmax = None
         self.pair = None             # dict kn/kt/gn/gt/mu
         self.pair_coeffs = {}        # (i, j) 0-based -> value tuple
+        self.groups = {}             # group id -> bool mask over atoms
         self.skin = None
         self.dt = 1e-4
         self.gravity = (0.0, 0.0, 0.0)
@@ -566,19 +567,55 @@ class DeckRunner:
             for k in ("x", "q", "scale", "shtype", "tag"):
                 self.atoms[k] = np.concatenate([self.atoms[k], new[k]])
 
+    def cmd_group(self, a):
+        """``group <id> type <t1> [t2...]`` / ``group <id> region <rid>``
+        — named setup-time atom selections (LAMMPS group command; used
+        by velocity and other per-group setup commands)."""
+        if self.atoms is None:
+            raise DeckError("group before atoms exist")
+        gid, mode = a[0], a[1]
+        if mode == "type":
+            types = {int(t) - 1 for t in a[2:]}
+            mask = np.isin(self.atoms["shtype"], sorted(types))
+        elif mode == "region":
+            reg = self.regions[a[2]]
+            mask = reg.contains(self.atoms["x"])
+        else:
+            raise DeckError(f"group mode {mode!r} unsupported")
+        self.groups[gid] = mask
+
+    def _group_mask(self, gid: str):
+        n = self.atoms["x"].shape[0]
+        if gid == "all":
+            return np.ones(n, bool)
+        if gid not in self.groups:
+            raise DeckError(f"unknown group {gid!r}")
+        mask = self.groups[gid]
+        if mask.shape[0] != n:
+            raise DeckError(
+                f"group {gid!r} was defined before atoms were added; "
+                "re-issue the group command"
+            )
+        return mask
+
     def cmd_velocity(self, a):
         if self.atoms is None:
             raise DeckError("velocity before atoms exist")
         n = self.atoms["x"].shape[0]
+        sel = self._group_mask(a[0])
+        if "v" not in self.atoms:
+            self.atoms["v"] = np.zeros((n, 3))
         if a[1] == "set":
-            self.atoms["v"] = np.tile(
-                [float(a[2]), float(a[3]), float(a[4])], (n, 1)
+            self.atoms["v"] = np.where(
+                sel[:, None],
+                np.asarray([float(a[2]), float(a[3]), float(a[4])]),
+                self.atoms["v"],
             )
         elif a[1] == "create":
             rng = np.random.default_rng(int(a[3]))
             v = rng.normal(size=(n, 3))
             v *= np.sqrt(float(a[2]) / np.mean(np.sum(v**2, -1)))
-            self.atoms["v"] = v
+            self.atoms["v"] = np.where(sel[:, None], v, self.atoms["v"])
         else:
             raise DeckError(f"velocity mode {a[1]} unsupported")
 

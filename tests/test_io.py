@@ -326,3 +326,31 @@ print           "vol=$(vol)"
     out = capsys.readouterr().out
     assert "ke=" in out
     assert "vol=216" in out
+
+
+def test_deck_group_velocity():
+    """group type/region + velocity <group> set (LAMMPS group command):
+    two single atoms of different types get opposing velocities and
+    elastically swap them in a head-on collision."""
+    deck = """
+units lj
+boundary f f f
+region box block -2 2 -2 2 -2 2
+create_box 2 box
+shape 1 sphere 0.5
+shape 2 sphere 0.5
+pair_style spherharm 100000 28571 0 0 0
+timestep 2e-4
+create_atoms 1 single -0.7 0 0
+create_atoms 2 single 0.7 0 0
+group left type 1
+group right type 2
+velocity left set 1.0 0 0
+velocity right set -1.0 0 0
+fix 1 all nve/sh
+run 2500
+"""
+    runner = DeckRunner().run_text(deck)
+    v = np.asarray(runner.state.v)[np.asarray(runner.state.active)]
+    assert v[0, 0] == pytest.approx(-1.0, abs=5e-3)
+    assert v[1, 0] == pytest.approx(1.0, abs=5e-3)
