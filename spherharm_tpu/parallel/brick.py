@@ -77,6 +77,8 @@ class BrickSimulation(ShardedSimulation):
         stage2_capacity: int = 0,
         conservative: bool = False,
         bounds_frac: dict | None = None,
+        triclinic: bool = False,
+        tilt_pad=0.0,
     ):
         if mesh.devices.ndim not in (2, 3) or mesh.axis_names != tuple(
             "xyz"[: mesh.devices.ndim]
@@ -111,15 +113,33 @@ class BrickSimulation(ShardedSimulation):
         self.wall_capacity = int(wall_capacity)
         self.stage2_capacity = int(stage2_capacity)
         self.prefilter = bool(use_pallas) and int(stage2_capacity) > 0
-        self.triclinic = False
-        self.tilt_pad = 0.0
+        # Triclinic bricks: ownership/membership stay in RAW coordinates
+        # (the slab trick, halo.py:222) with per-axis halo inflation —
+        # a y/z-crossing image shifts x by the tilt, so x-axis halo
+        # membership must reach (|xy| + |xz|) further; y-axis reach
+        # grows by |yz|; z is exact. ``tilt_pad``: scalar (applied to
+        # both x and y reaches) or {"x": ..., "y": ...}.
+        self.triclinic = bool(triclinic)
+        if isinstance(tilt_pad, dict):
+            pads = {"x": float(tilt_pad.get("x", 0.0)),
+                    "y": float(tilt_pad.get("y", 0.0)), "z": 0.0}
+        else:
+            pads = {"x": float(tilt_pad), "y": float(tilt_pad), "z": 0.0}
+        self.tilt_pads = pads
+        self.tilt_pad = max(pads.values())
+        if triclinic and all(v <= 0.0 for v in pads.values()):
+            raise ValueError("triclinic brick needs tilt_pad > 0 "
+                             "(>= max |xy|+|xz| for x, >= max |yz| for y)")
         self.conservative = bool(conservative)
 
         self.box_lo_np = np.asarray(box_lo, np.float64)
         self.box_hi_np = np.asarray(box_hi, np.float64)
         L = self.box_hi_np - self.box_lo_np
         cutoff_total = float(params.cutoff + params.skin)
-        self.halo_depth = cutoff_total
+        self.halo_depth = cutoff_total + self.tilt_pad
+        self.halo_depth_ax = {
+            ax: cutoff_total + pads[ax] for ax in ("x", "y", "z")
+        }
 
         # Weighted per-axis boundaries as fractions of the box (uniform
         # by default); validated like halo.py's 1D bounds_frac.
@@ -146,23 +166,35 @@ class BrickSimulation(ShardedSimulation):
         for d, ax in enumerate(self._axes):
             widths = np.diff(self.bounds_frac[ax]) * L[d]
             self.slab_w[ax] = float(widths.min())
-            if self.axis_sizes[ax] > 1 and self.slab_w[ax] < self.halo_depth:
+            if (self.axis_sizes[ax] > 1
+                    and self.slab_w[ax] < self.halo_depth_ax[ax]):
                 raise ValueError(
                     f"axis {ax}: narrowest brick width "
-                    f"{self.slab_w[ax]:.3g} < cutoff+skin "
-                    f"{self.halo_depth:.3g}: too many shards (or too "
-                    "skewed a balance) for this box"
+                    f"{self.slab_w[ax]:.3g} < halo depth "
+                    f"{self.halo_depth_ax[ax]:.3g}: too many shards (or "
+                    "too skewed a balance) for this box"
                 )
         # Static bin grid over the brick window + halo margins; unsharded
         # trailing dims span the full box. Cells must stay >= cutoff for
         # the NARROWEST brick (wider bricks get larger cells — safe).
         bin_ext = np.array([
-            (self.slab_w[ax] + 2 * self.halo_depth)
+            (self.slab_w[ax] + 2 * self.halo_depth_ax[ax])
             if ax in self._axes else L[d]
             for d, ax in enumerate("xyz")
         ])
+        # Triclinic: binning runs in the unsheared frame, where a
+        # raw-cutoff neighbor's displacement inflates by up to
+        # |tilt|/L per coupled axis — grow the cells so the 27-stencil
+        # stays complete at the padded tilt bound (the deck applies the
+        # same inflation for the single-device path).
+        infl = 1.0
+        if triclinic:
+            infl = 1.0 + min(
+                (pads["x"] + pads["y"]) / float(L.min()), 1.0
+            )
         dims = np.maximum(
-            np.floor(float(deform_min) * bin_ext / cutoff_total).astype(int),
+            np.floor(float(deform_min) * bin_ext
+                     / (cutoff_total * infl)).astype(int),
             1,
         )
         self.grid_dims = tuple(int(v) for v in dims)
@@ -236,20 +268,34 @@ class BrickSimulation(ShardedSimulation):
         return self.periodic[dim] | (jax.lax.axis_index(axis) < n - 1)
 
     def _seam(self, axis: str, state):
-        """Coordinate shift a SENT particle gets across the periodic seam."""
-        dim = "xyz".index(axis)
+        """Shift VECTOR (3,) a SENT particle gets across the periodic
+        seam: the full CELL VECTOR of the axis, so triclinic images are
+        exact (b = (xy, Ly, 0) for y, c = (xz, yz, Lz) for z)."""
+        L = state.box_hi - state.box_lo
+        z = jnp.zeros((), state.x.dtype)
+        if self.triclinic:
+            t = state.tilt
+        else:
+            t = jnp.zeros((3,), state.x.dtype)
+        if axis == "x":
+            cv = jnp.stack([L[0], z, z])
+        elif axis == "y":
+            cv = jnp.stack([t[0], L[1], z])
+        else:
+            cv = jnp.stack([t[1], t[2], L[2]])
         idx = jax.lax.axis_index(axis)
         n = self._ax_size(axis)
-        L = state.box_hi[dim] - state.box_lo[dim]
-        lo_send = jnp.where(idx == 0, L, 0.0)
-        hi_send = jnp.where(idx == n - 1, -L, 0.0)
-        return (lo_send.astype(state.x.dtype), hi_send.astype(state.x.dtype))
+        lo_send = jnp.where(idx == 0, 1.0, 0.0).astype(state.x.dtype)
+        hi_send = jnp.where(idx == n - 1, -1.0, 0.0).astype(state.x.dtype)
+        return lo_send * cv, hi_send * cv
 
     def _membership(self, coords, active, axis: str, state, fr):
-        """Halo senders along one axis: rows within halo_depth of a face."""
+        """Halo senders along one axis: rows within the axis' halo
+        depth (cutoff+skin, tilt-inflated for triclinic) of a face."""
+        h = self.halo_depth_ax[axis]
         lo, hi = self._edges(state, axis, fr)
-        near_l = active & (coords < lo + self.halo_depth) & self._has_lo(axis)
-        near_r = active & (coords >= hi - self.halo_depth) & self._has_hi(axis)
+        near_l = active & (coords < lo + h) & self._has_lo(axis)
+        near_r = active & (coords >= hi - h) & self._has_hi(axis)
         il, vl = _select_fill(near_l, self.halo_cap)
         ir, vr = _select_fill(near_r, self.halo_cap)
         send_idx = jnp.concatenate([il, ir])
@@ -261,14 +307,13 @@ class BrickSimulation(ShardedSimulation):
                      state):
         """Gather rows at send_idx, seam-shift the axis coordinate, and
         exchange both directions. Returns received field dict + active."""
-        dim = "xyz".index(axis)
         sl, sr = self._seam(axis, state)
         H = self.halo_cap
         out = {}
         for f, arr in fields.items():
             vals = arr[send_idx]
             if f == "x":
-                vals = vals.at[:H, dim].add(sl).at[H:, dim].add(sr)
+                vals = vals.at[:H, :].add(sl).at[H:, :].add(sr)
             from_right = self._ring(vals[:H], "left", axis)
             from_left = self._ring(vals[H:], "right", axis)
             out[f] = jnp.concatenate([from_left, from_right], axis=0)
@@ -390,8 +435,6 @@ class BrickSimulation(ShardedSimulation):
 
         xs = np.asarray(jax.device_get(state.x))
         act = np.asarray(jax.device_get(state.active))
-        # The brick is orthogonal-only (no triclinic tilt), so there is
-        # no tilt_pad term in its halo depth, unlike the slab version.
         cutoff_total = float(self.params.cutoff + self.params.skin)
         new_ghosts = []
         for k, ax in enumerate(self._axes):
@@ -405,9 +448,9 @@ class BrickSimulation(ShardedSimulation):
             hi = float(np.asarray(state.box_hi)[dim])
             L = hi - lo
             xf = np.clip((xs[act, dim] - lo) / L, 0.0, 1.0)
-            min_w = max(self.halo_depth,
-                        self.grid_dims[dim] * cutoff_total
-                        - 2 * self.halo_depth)
+            h_ax = self.halo_depth_ax[ax]
+            min_w = max(h_ax,
+                        self.grid_dims[dim] * cutoff_total - 2 * h_ax)
             qs = clamped_quantile_fracs(
                 xf, old, n, min_w / L * (1.0 + 1e-3)
             )
@@ -505,6 +548,7 @@ class BrickSimulation(ShardedSimulation):
     def _rebuild(self, state: State, neigh, ghosts, fold: bool = True):
         x, image = neighbor.wrap_positions(
             state.x, state.image, state.box_lo, state.box_hi, self.periodic,
+            tilt=self._tilt(state),
         )
         state = state.replace(x=x, image=image)
         if fold:
@@ -519,8 +563,8 @@ class BrickSimulation(ShardedSimulation):
         for d, ax in enumerate("xyz"):
             if ax in self._axes:
                 lo, hi = self._edges(state, ax, fracs[ax])
-                lo3.append(lo - self.halo_depth)
-                hi3.append(hi + self.halo_depth)
+                lo3.append(lo - self.halo_depth_ax[ax])
+                hi3.append(hi + self.halo_depth_ax[ax])
             else:
                 lo3.append(state.box_lo[d])
                 hi3.append(state.box_hi[d])
@@ -532,6 +576,7 @@ class BrickSimulation(ShardedSimulation):
             ext.x, ext.active, state.box_lo, state.box_hi, cutoff,
             self.grid_dims, self.cell_cap, self.k_max, self.periodic_eff,
             bin_lo=bin_lo, bin_hi=bin_hi, owned=owned & ext.active,
+            tilt=self._tilt(state),
         )
         neigh_tag = jnp.where(nmask, ext.tag[nidx], 0)
         row_ok = neigh.row_tag == ext.tag
@@ -541,6 +586,7 @@ class BrickSimulation(ShardedSimulation):
         pair_fields, n_pairs = contact.build_pair_list(
             ext, self.shapes, self.params, nidx, nmask, hist,
             owned & ext.active, self.pair_capacity, self.periodic_eff,
+            tilt=self._tilt(state),
         )
         n_surv = jnp.asarray(0, jnp.int32)
         if self.prefilter:
@@ -549,6 +595,7 @@ class BrickSimulation(ShardedSimulation):
                 self.stage2_capacity, self.k_max,
                 window_steps=self._window_steps,
                 periodic=self.periodic_eff,
+                tilt=self._tilt(state),
                 axes=self._axes,
             )
             neigh = neigh.replace(budget=budget)
@@ -583,12 +630,23 @@ class BrickSimulation(ShardedSimulation):
     # -- distribution --------------------------------------------------------
 
     def distribute(self, state_global: State, restart: dict | None = None):
-        """Partition a global State into weighted brick blocks."""
-        if bool(np.any(np.asarray(state_global.tilt) != 0.0)):
+        """Partition a global State into weighted brick blocks (raw-
+        coordinate ownership; triclinic needs triclinic=True + pads)."""
+        tilt0 = np.asarray(state_global.tilt, np.float64)
+        if not self.triclinic and bool(np.any(tilt0 != 0.0)):
             raise ValueError(
-                "brick decomposition does not support triclinic tilt — "
-                "use the 1D slab ShardedSimulation(triclinic=True)"
+                "state has triclinic tilt but the brick was built with "
+                "triclinic=False — pass triclinic=True and tilt_pad"
             )
+        if self.triclinic:
+            need_x = abs(tilt0[0]) + abs(tilt0[1])
+            need_y = abs(tilt0[2])
+            if (need_x > self.tilt_pads["x"] + 1e-9
+                    or need_y > self.tilt_pads["y"] + 1e-9):
+                raise ValueError(
+                    f"initial tilt {tilt0} exceeds tilt_pad "
+                    f"{self.tilt_pads} — halos would under-reach"
+                )
         P_ = self.n_shards
         x = np.asarray(state_global.x)
         active = np.asarray(state_global.active)

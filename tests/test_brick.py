@@ -312,3 +312,71 @@ def test_brick_inrun_rebalance():
     for t in a:
         np.testing.assert_allclose(b[t], a[t], atol=3e-3,
                                    err_msg=f"x mismatch tag {t}")
+
+
+def test_brick_triclinic_matches_single():
+    """Statically tilted periodic cell over a 2x2 (x, y) brick ==
+    single device: the y-seam ghost shift carries the xy tilt (full
+    cell-vector seams) and raw-coordinate membership reaches through
+    the tilt pads."""
+    rng = np.random.default_rng(12)
+    lmax = 2
+    shapes = shapes_library.build_shapes(
+        [shapes_library.ellipsoid_coeffs(0.55, 0.45, 0.4, lmax)],
+        lmax, contact_quad=(6, 12),
+    )
+    box = 8.0
+    tilt = [1.2, 0.0, 0.0]  # xy
+    n = 72
+    side = int(np.ceil(n ** (1 / 3)))
+    pitch = box / side
+    pts = [[(i % side + 0.5) * pitch,
+            ((i // side) % side + 0.5) * pitch,
+            (i // side**2 + 0.5) * pitch] for i in range(n)]
+    x = np.asarray(pts) + rng.uniform(-0.06, 0.06, (n, 3))
+    v = rng.normal(size=(n, 3)) * 0.5
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    params = SimParams.create(dt=1e-3, kn=1e4, gamma_n=5.0, mu=0.3,
+                              cutoff=1.2, skin=0.3)
+    state0 = scenarios.make_state(
+        x, [0, 0, 0], [box] * 3, v=v, q=q, tilt=tilt,
+    )
+    periodic = (True, True, True)
+
+    grid = CellGrid([0, 0, 0], [box] * 3, 1.5 * 1.4, periodic)
+    sim1 = Simulation(
+        shapes, params, periodic=periodic, neighbor_mode="cell",
+        grid=grid, k_max=24, cell_cap=16, pair_capacity=1024,
+        triclinic=True,
+    )
+    s1, n1 = sim1.init_neighbors(state0)
+    s1, n1 = sim1.run(s1, n1, 120)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    simb = BrickSimulation(
+        shapes, params, mesh=mesh, box_lo=(0, 0, 0),
+        box_hi=(box, box, box),
+        cap_local=96, halo_cap=72, migrate_cap=32,
+        periodic=periodic, k_max=24, cell_cap=16, pair_capacity=768,
+        triclinic=True, tilt_pad=1.3,
+    )
+    sb, ngb, ghb = simb.init(state0)
+    sb, ngb, ghb = simb.run(sb, ngb, ghb, 120)
+    tb = simb.thermo(sb, ngb, ghb)
+    assert int(tb["neigh_overflow"]) <= 72
+
+    t1 = sim1.thermo(s1, n1)
+
+    def by_tag(st):
+        tags = np.asarray(st.tag)
+        act = np.asarray(st.active)
+        arr = np.asarray(st.x)
+        return {int(t): arr[i] for i, t in enumerate(tags) if act[i]}
+
+    a, b = by_tag(s1), by_tag(sb)
+    assert set(a.keys()) == set(b.keys())
+    for t in a:
+        np.testing.assert_allclose(b[t], a[t], atol=3e-3,
+                                   err_msg=f"x mismatch tag {t}")
+    assert float(tb["etot"]) == pytest.approx(float(t1["etot"]), rel=2e-3)
