@@ -25,6 +25,13 @@ CPU_LAMMPS_BASELINE_EST = 2.0e4  # particle-steps/s, SURVEY.md section 6
 
 
 def main():
+    # Fail in seconds with one clear line when the axon TPU relay is
+    # down — a backend touch would otherwise HANG forever (BENCH_r03
+    # died to this). CPU-pinned runs (JAX_PLATFORMS=cpu) proceed.
+    from spherharm_tpu.utils import backend as _backend
+
+    _backend.require_tpu_or_die("bench.py")
+
     import jax
 
     from spherharm_tpu.models import scenarios

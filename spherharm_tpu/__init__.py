@@ -37,6 +37,26 @@ if _os.environ.get("SPHERHARM_JAX_CACHE", "1") != "0":
     _plat = str(_jax.config.jax_platforms or "default").replace(",", "_")
     _rc = _os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "1")
     _plat = f"{_plat}-rc{_rc}"
+    # CPU executables are AOT-compiled for the COMPILING host's machine
+    # features, and this cache directory can be shared across machine
+    # classes (observed: a cpu-rc0 partition polluted with entries
+    # carrying +prefer-no-scatter/+amx features this host lacks — every
+    # load warns and can SIGILL). Key CPU partitions by a fingerprint of
+    # the host's CPU flags so each machine class only loads its own.
+    if "cpu" in _plat:
+        try:
+            import hashlib as _hashlib
+
+            with open("/proc/cpuinfo") as _f:
+                for _line in _f:
+                    if _line.startswith("flags"):
+                        _fp = _hashlib.sha1(
+                            _line.encode()
+                        ).hexdigest()[:8]
+                        _plat = f"{_plat}-{_fp}"
+                        break
+        except OSError:
+            pass
     _cache = _os.path.join(
         _os.environ.get(
             "SPHERHARM_JAX_CACHE_DIR",
