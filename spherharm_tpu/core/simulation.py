@@ -63,6 +63,8 @@ class Simulation:
         triclinic: bool = False,
         conservative: bool = False,
         gravity_pe_origin=(0.0, 0.0, 0.0),
+        group_fixes: tuple = (),
+        group_tab=None,
     ):
         self.shapes = shapes
         self.params = params
@@ -109,6 +111,22 @@ class Simulation:
         # ops.contact.pair_elastic_grad / contact_pallas._make_kernel.
         self.conservative = bool(conservative)
         self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
+        # Runtime per-group fixes (LAMMPS `fix <id> <group> freeze` /
+        # `fix ... setforce fx fy fz` with NULL components). Group
+        # membership is keyed by TAG through a static lookup table
+        # (group_tab[tag] = group bitmask), so it needs no new per-atom
+        # comm/restart field — tags already ride migration and
+        # checkpoints. group_fixes entries are hashable tuples
+        # ("freeze", bit, (0,0,0), (0,0,0)) or
+        # ("setforce", bit, values3, keep3) where keep marks NULL
+        # components (force left unchanged).
+        self.group_fixes = tuple(group_fixes)
+        if self.group_fixes and group_tab is None:
+            raise ValueError("group_fixes requires group_tab")
+        self.group_tab = (
+            None if group_tab is None
+            else jnp.asarray(group_tab, jnp.int32)
+        )
         if neighbor_mode == "cell" and grid is None:
             raise ValueError("neighbor_mode='cell' requires a CellGrid")
 
@@ -239,7 +257,17 @@ class Simulation:
             pair_cap=self.pair_list_cap,
         )
         state, neigh = self._rebuild(state, neigh)
+        # The setup pass must not advance friction-spring history: the
+        # first real step integrates the same configuration again, so
+        # letting compute_forces tick the springs here would give
+        # pre-contacting pairs a double dt of tangential displacement at
+        # t0 (the reference's setup() suppresses the shear-history
+        # update for the same reason). Keep f/tau, restore the history.
+        hists0 = (neigh.hist, neigh.pair_hist, neigh.wall_hist)
         state, neigh, _ = self.compute_forces(state, neigh)
+        neigh = neigh.replace(
+            hist=hists0[0], pair_hist=hists0[1], wall_hist=hists0[2]
+        )
         return state, neigh
 
     def _maybe_rebuild(self, state: State, neigh: NeighborState):
@@ -301,6 +329,25 @@ class Simulation:
         f = f + jnp.where(
             state.active[:, None], m[:, None] * self.params.gravity[None, :], 0.0
         )
+        # Runtime group fixes run LAST, after pair/wall/gravity forces —
+        # the reference's post_force ordering, where setforce overrides
+        # whatever accumulated (Modify hook order, SURVEY.md 3.2).
+        if self.group_fixes:
+            bits = self.group_tab[
+                jnp.clip(state.tag, 0, self.group_tab.shape[0] - 1)
+            ]
+            for kind, bit, vals, keep in self.group_fixes:
+                member = state.active & ((bits & (1 << bit)) != 0)
+                mem3 = member[:, None]
+                if kind == "freeze":
+                    f = jnp.where(mem3, 0.0, f)
+                    tau = jnp.where(mem3, 0.0, tau)
+                elif kind == "setforce":
+                    v = jnp.asarray(vals, f.dtype)
+                    kp = jnp.asarray(keep, bool)
+                    f = jnp.where(mem3 & ~kp[None, :], v[None, :], f)
+                else:
+                    raise ValueError(f"unknown group fix {kind!r}")
         state = state.replace(f=f, tau=tau)
         aux = {"pe_pair": pe_pair, "pe_wall": pe_wall, "virial": virial}
         return state, neigh, aux

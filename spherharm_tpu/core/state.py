@@ -92,12 +92,11 @@ class Shapes:
     density: jax.Array       # [T] mass density
     # Power-basis (monomial) tables for the hot kernels (ops/sh_power.py):
     # coefficients absorbed into per-type per-m Horner runs, ~3x fewer
-    # FLOPs per node than the streaming ALP chain. power_tbl1 is the
-    # l1-truncated r-only (A/B) table for the stage-1 containment probe;
-    # tail1 the conservative truncation bound sum_{l>l1}|c| * max|Y|.
+    # FLOPs per node than the streaming ALP chain. A truncated stage-1
+    # probe slices the A/B prefix of power_tbl directly; tail1 is the
+    # conservative truncation bound sum_{l>l1}|c| * max|Y| for it.
     l1: int = struct.field(pytree_node=False)   # stage-1 truncation degree
     power_tbl: jax.Array     # [T, W(lmax)] full r/drt/drp Horner tables
-    power_tbl1: jax.Array    # [T, (l1+1)^2] stage-1 r-only tables
     tail1: jax.Array         # [T] stage-1 truncation tail bound (unit scale)
     # Max tangential surface gradient |grad_tang r| (unit scale): bounds
     # the radial surface motion under body rotation (rotation-aware

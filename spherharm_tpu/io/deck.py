@@ -33,6 +33,8 @@ Supported commands (LAMMPS syntax; unknown commands raise):
   fix <id> all wall/gran cylinder <ax> <ay> <az> <dx> <dy> <dz> <R> <omega>
   fix <id> all deform <rate_x> <rate_y> <rate_z> [xy <r>] [xz <r>] [yz <r>]
   fix <id> all press/berendsen <target> <tau>
+  fix <id> <group> freeze
+  fix <id> <group> setforce <fx|NULL> <fy|NULL> <fz|NULL>
   timestep <dt>
   thermo <every>
   dump <id> all custom <every> <file> [cols...]
@@ -218,6 +220,7 @@ class DeckRunner:
         self.rebuild_every = 0
         self.walls = []
         self.fixes = []
+        self.group_fix_decls = []    # (group id, kind, values3, keep3)
         self.thermo_every = 0
         self.computes = {}           # id -> registered compute style
         self.dumps = []              # (every, path, cols)
@@ -566,6 +569,13 @@ class DeckRunner:
             new["tag"] = np.arange(base + 1, base + n + 1, dtype=np.int32)
             for k in ("x", "q", "scale", "shtype", "tag"):
                 self.atoms[k] = np.concatenate([self.atoms[k], new[k]])
+            # An earlier `velocity` command materializes atoms["v"];
+            # LAMMPS semantics give atoms created afterwards zero
+            # velocity until a later velocity command touches them.
+            if "v" in self.atoms:
+                self.atoms["v"] = np.concatenate(
+                    [self.atoms["v"], np.zeros((n, 3))]
+                )
 
     def cmd_group(self, a):
         """``group <id> type <t1> [t2...]`` / ``group <id> region <rid>``
@@ -705,6 +715,26 @@ class DeckRunner:
         elif style == "press/berendsen":
             self.press_target = float(a[3])
             self.press_tau = float(a[4])
+        elif style == "freeze":
+            # LAMMPS `fix <id> <group> freeze` (GRANULAR): zero force
+            # AND torque on the group each step, after all other forces.
+            self.group_fix_decls.append(
+                (a[1], "freeze", (0.0, 0.0, 0.0), (False,) * 3)
+            )
+        elif style == "setforce":
+            # `fix <id> <group> setforce fx fy fz` with NULL components
+            # left untouched (the LAMMPS convention).
+            vals, keep = [], []
+            for tok in a[3:6]:
+                if tok.upper() == "NULL":
+                    vals.append(0.0)
+                    keep.append(True)
+                else:
+                    vals.append(float(tok))
+                    keep.append(False)
+            self.group_fix_decls.append(
+                (a[1], "setforce", tuple(vals), tuple(keep))
+            )
         else:
             raise DeckError(f"unsupported fix style {style}")
 
@@ -822,6 +852,25 @@ class DeckRunner:
         # stays complete in the unsheared frame (see ops/neighbor.py).
         cell_cutoff = (cutoff + skin) * (1.4 if triclinic else 1.0)
         grid = CellGrid(lo, hi, cell_cutoff, self.periodic)
+        # Runtime group fixes: freeze/setforce membership keyed by tag
+        # through a static bitmask table (groups are setup-time masks;
+        # tags persist through migration/restart, so the table needs no
+        # per-atom comm plumbing).
+        group_fixes, group_tab = (), None
+        if self.group_fix_decls:
+            tags = np.asarray(self.atoms["tag"], np.int64)
+            tab = np.zeros(int(tags.max()) + 1, np.int32)
+            bit_of = {}
+            entries = []
+            for gid, kind, vals, keep in self.group_fix_decls:
+                if gid not in bit_of:
+                    bit_of[gid] = len(bit_of)
+                    if len(bit_of) > 31:
+                        raise DeckError("more than 31 runtime fix groups")
+                    sel = self._group_mask(gid)
+                    tab[tags[sel]] |= np.int32(1 << bit_of[gid])
+                entries.append((kind, bit_of[gid], vals, keep))
+            group_fixes, group_tab = tuple(entries), tab
         self.sim = Simulation(
             shapes, params, periodic=self.periodic, neighbor_mode="cell",
             grid=grid, k_max=self.k_max, cell_cap=self.cell_cap,
@@ -830,6 +879,8 @@ class DeckRunner:
             press_control=self.press_tau > 0,
             rebuild_every=self.rebuild_every,
             triclinic=triclinic,
+            group_fixes=group_fixes,
+            group_tab=group_tab,
         )
         self.state, self.neigh = self.sim.init_neighbors(state)
 

@@ -200,10 +200,6 @@ def build_shapes(
 
     l1 = min(4, lmax)
     power_tbl = sh_power.build_power_tables_np(coeffs, lmax)
-    coeffs_lo = coeffs[:, : n_coeffs(l1)]
-    power_tbl1 = sh_power.build_power_tables_np(coeffs_lo, l1)[
-        :, : n_coeffs(l1)
-    ]
     ymax = math.sqrt((2 * lmax + 1) / (4.0 * math.pi))
     tail1 = ymax * np.sum(np.abs(coeffs[:, n_coeffs(l1):]), axis=1)
     # Max tangential surface gradient (rotation skin bound; 0 = sphere).
@@ -255,7 +251,6 @@ def build_shapes(
         density=f(density),
         l1=l1,
         power_tbl=f(power_tbl),
-        power_tbl1=f(power_tbl1),
         tail1=f(tail1),
         gmax=f(gmax),
     )

@@ -777,7 +777,8 @@ def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
     the candidate list (exactness is affordable at rebuild cadence; the
     l1-truncation tail bound ~0.3 r for rough lmax=8 blobs would eat the
     whole filter margin) and keeps pairs with probe depth above
-    ``-(0.08 * min rchar + b_i + b_j)`` where b_i is the particle's
+    ``-(0.08 * min(rc_i, rc_j) + b_i + b_j)`` (scaled per-pair rchar)
+    where b_i is the particle's
     MOTION BUDGET for the window:
 
       b_i = clip(T (|v_i| + gmax_i |omega_i|) + slack,
@@ -886,7 +887,13 @@ def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
     )
     budget = jnp.where(act, budget, 0.0)
 
-    margin = 0.08 * jnp.min(shapes.rchar) + budget[pi] + budget[pj]
+    # Coarse-grid slack scales with the PAIR's smaller particle (scaled
+    # rchar): the probe's node-spacing error grows with particle size,
+    # and a wrongly culled grazing pair stays dropped for the whole
+    # rebuild window — the global unit-scale minimum under-protects
+    # scaled-up or large-type pairs.
+    rc_pair = jnp.minimum(rows[pi, _RRC], rows[pj, _RRC])
+    margin = 0.08 * rc_pair + budget[pi] + budget[pj]
     survive = msk & (depth > -margin)
 
     n_surv = jnp.sum(survive.astype(jnp.int32))
@@ -1024,23 +1031,23 @@ def contact_force_pairs(state, shapes, params, neigh,
         else:
             force, torque, torque_j, hist_new, pe, _, d = run(blocks)
 
-    # i side: pair_i is sorted by construction.
-    f = jax.ops.segment_sum(force, pi, num_segments=N,
-                            indices_are_sorted=True)
-    tau = jax.ops.segment_sum(torque, pi, num_segments=N,
-                              indices_are_sorted=True)
+    # i side: pair_i is sorted by construction. Force and torque ride
+    # one [P, 6] segment-sum (one pass over the pair index per side —
+    # these scatters are HBM-bandwidth ops at pair-list scale).
+    acc_i = jax.ops.segment_sum(
+        jnp.concatenate([force, torque], axis=1), pi, num_segments=N,
+        indices_are_sorted=True,
+    )
     # j side (reaction; only half-list owned-owned pairs): permute into
     # pair_j-sorted order so this is a sorted segment-sum too.
     w_j = (msk & neigh.pair_both).astype(force.dtype)[:, None]
     perm = neigh.pair_jsort
-    f = f + jax.ops.segment_sum(
-        (-force * w_j)[perm], pj[perm], num_segments=N,
-        indices_are_sorted=True,
+    acc_j = jax.ops.segment_sum(
+        jnp.concatenate([-force * w_j, torque_j * w_j], axis=1)[perm],
+        pj[perm], num_segments=N, indices_are_sorted=True,
     )
-    tau = tau + jax.ops.segment_sum(
-        (torque_j * w_j)[perm], pj[perm], num_segments=N,
-        indices_are_sorted=True,
-    )
+    f = acc_i[:, 0:3] + acc_j[:, 0:3]
+    tau = acc_i[:, 3:6] + acc_j[:, 3:6]
     # Each half-list pair counted once; one-sided (ghost) pairs are
     # evaluated once per owning shard, so weight 1/2 keeps global sums
     # exact after psum.

@@ -92,19 +92,33 @@ def _horner(tbl, off: int, n: int, ct):
     return acc
 
 
-def _radius_grad_power(tbl, cos_t, sin_t, cos_p, sin_p, lmax: int):
+def _radius_grad_power(tbl, cos_t, sin_t, cos_p, sin_p, lmax: int,
+                       bf16: bool = False):
     """(r, dr/dtheta, dr/dphi) from per-pair power-table rows [B, W].
 
     Pure Horner + cos/sin(m phi) and sin^m recurrences on [B, G] planes
     — ~3x fewer FLOPs than the streaming ALP chain, exactly the same
     function (ops/sh_power.py builds the tables; parity pinned there).
     The theta-derivative is polynomial at the poles: no 1/sin guard.
+
+    ``bf16``: run the per-m Horner chains (where the coefficient-count
+    FLOPs are) in bfloat16, assembling the m-sum in f32 — a VPU
+    fast-path experiment (SPHERHARM_STAGE2_BF16=1). Radius error is
+    ~1e-3 relative; in conservative mode the force is then the exact
+    gradient of a *slightly perturbed* potential, so the <1%/1M drift
+    claim must be re-measured on TPU before this defaults on.
     """
     runs = sh_power.power_layout(lmax)["runs"]
-    A = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["A"]}
-    B = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["B"]}
-    At = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["At"]}
-    Bt = {m: _horner(tbl, off, n, cos_t) for m, off, n in runs["Bt"]}
+    if bf16:
+        tbl_h = tbl.astype(jnp.bfloat16)
+        ct_h = cos_t.astype(jnp.bfloat16)
+        hr = lambda off, n: _horner(tbl_h, off, n, ct_h).astype(jnp.float32)
+    else:
+        hr = lambda off, n: _horner(tbl, off, n, cos_t)
+    A = {m: hr(off, n) for m, off, n in runs["A"]}
+    B = {m: hr(off, n) for m, off, n in runs["B"]}
+    At = {m: hr(off, n) for m, off, n in runs["At"]}
+    Bt = {m: hr(off, n) for m, off, n in runs["Bt"]}
 
     r = A[0] + jnp.zeros_like(cos_t)
     drt = sin_t * At[0]
@@ -166,7 +180,7 @@ def _unit_trig(ux, uy, uz):
     return ct, st, ux * inv, uy * inv
 
 
-def _probe(col, ti_or_tj, pre, side, cap, lmax):
+def _probe(col, ti_or_tj, pre, side, cap, lmax, bf16=False):
     """One-sided cap probe. side='ij' probes i's nodes into j.
 
     col(name): [B,1] column getter; pre: dict of precomputed [B,1];
@@ -227,7 +241,7 @@ def _probe(col, ti_or_tj, pre, side, cap, lmax):
 
     ct_a, st_a, cp_a, sp_a = _unit_trig(dirx, diry, dirz)
     r_a, drt_a, drp_a = _radius_grad_power(
-        t_a, ct_a, st_a, cp_a, sp_a, lmax)
+        t_a, ct_a, st_a, cp_a, sp_a, lmax, bf16)
     na = _surface_normal(r_a, drt_a, drp_a, ct_a, st_a, cp_a, sp_a)
     cos_incl = jnp.clip(dirx * na[0] + diry * na[1] + dirz * na[2], 0.05, 1.0)
     w_solid = one_m * cap_glw
@@ -245,7 +259,7 @@ def _probe(col, ti_or_tj, pre, side, cap, lmax):
         u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho
     )
     r_b, drt_b, drp_b = _radius_grad_power(
-        t_b, ct_b, st_b, cp_b, sp_b, lmax)
+        t_b, ct_b, st_b, cp_b, sp_b, lmax, bf16)
 
     # Depth-moment overlap integrals (see ops/contact.py: no containment
     # indicator — kink-free and lens-exact via delta = 1.5*S2/S1).
@@ -266,7 +280,7 @@ def _probe(col, ti_or_tj, pre, side, cap, lmax):
     return s1, s2, (cx, cy, cz), (nxs, nys, nzs)
 
 
-def _probe_cons(col, ti_or_tj, pre, side, cap, lmax):
+def _probe_cons(col, ti_or_tj, pre, side, cap, lmax, bf16=False):
     """One-sided cap probe + HAND-DERIVED gradient integrals of the
     depth moments (conservative mode).
 
@@ -350,7 +364,7 @@ def _probe_cons(col, ti_or_tj, pre, side, cap, lmax):
 
     ct_a, st_a, cp_a, sp_a = _unit_trig(*dir3)
     r_a, drt_a, drp_a = _radius_grad_power(t_a, ct_a, st_a, cp_a, sp_a,
-                                           lmax)
+                                           lmax, bf16)
     # Tangent surface gradient of r_a in a's body frame:
     # g = drt * theta_hat + (drp / sin t) * phi_hat.
     inv_st_a = 1.0 / jnp.maximum(st_a, 1e-6)
@@ -369,7 +383,7 @@ def _probe_cons(col, ti_or_tj, pre, side, cap, lmax):
     uh = tuple(u3[k] * inv_rho for k in range(3))
     ct_b, st_b, cp_b, sp_b = _unit_trig(*uh)
     r_b, drt_b, drp_b = _radius_grad_power(t_b, ct_b, st_b, cp_b, sp_b,
-                                           lmax)
+                                           lmax, bf16)
     inv_st_b = 1.0 / jnp.maximum(st_b, 1e-6)
     gpb = drp_b * inv_st_b
     gb = (drt_b * ct_b * cp_b - gpb * sp_b,
@@ -449,17 +463,40 @@ def _probe_cons(col, ti_or_tj, pre, side, cap, lmax):
     return s1, s2, cen, nsum, grads
 
 
-def _make_kernel(lmax: int, conservative: bool = False):
+def _make_kernel(lmax: int, conservative: bool = False,
+                 bf16: bool = False):
     """Fused contact kernel. ``conservative=True`` replaces the geometric
     elastic force/torques with the EXACT gradient of the sampled elastic
     PE, via the hand-derived backward in _probe_cons (measure: incl-free,
     twin of ops.contact.pair_elastic_grad with the same measure;
-    parity-tested)."""
+    parity-tested). ``bf16`` runs the Horner coefficient chains in
+    bfloat16 (see _radius_grad_power; experiment knob, drift must be
+    re-measured before it defaults on)."""
 
     def kernel(pairs_ref, ti_ref, tj_ref, cap_ref, par_ref, out_ref):
+        # BLOCK SKIP: prefilter compaction packs valid pairs to the
+        # FRONT of the list, so the padding between n_survivors and the
+        # static capacity arrives here as whole blocks of mask=0 rows.
+        # One scalar predicate turns those blocks into a zero-fill
+        # instead of the full ~2k-FLOP/node body — capacity headroom
+        # stops costing compute (the DMA still streams; compute is the
+        # wall). Masked rows produce all-zero outputs in the live body
+        # too, so the fill is exactly equivalent.
+        pairs = pairs_ref[:, :]
+        m_lo, _ = _SLOTS["mask"]
+        alive = jnp.max(pairs[:, m_lo]) > 0.5
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when(alive)
+        def _():
+            _kernel_body(pairs, ti_ref, tj_ref, cap_ref, par_ref, out_ref)
+
+    def _kernel_body(pairs, ti_ref, tj_ref, cap_ref, par_ref, out_ref):
         # Materialize refs as values up front (value slices compile the
         # same as ref loads). ti/tj: power-table rows [B, W].
-        pairs = pairs_ref[:, :]
         ti = ti_ref[:, :]
         tj = tj_ref[:, :]
 
@@ -487,14 +524,16 @@ def _make_kernel(lmax: int, conservative: bool = False):
 
         if conservative:
             s1a, s2a, c1, n1, g_ij = _probe_cons(
-                col, (ti, tj), pre, "ij", cap, lmax)
+                col, (ti, tj), pre, "ij", cap, lmax, bf16)
             s1b, s2b, c2, n2, g_ji = _probe_cons(
-                col, (ti, tj), pre, "ji", cap, lmax)
+                col, (ti, tj), pre, "ji", cap, lmax, bf16)
             s1 = s1a + s1b
             s2 = s2a + s2b
         else:
-            s1a, s2a, c1, n1 = _probe(col, (ti, tj), pre, "ij", cap, lmax)
-            s1b, s2b, c2, n2 = _probe(col, (ti, tj), pre, "ji", cap, lmax)
+            s1a, s2a, c1, n1 = _probe(col, (ti, tj), pre, "ij", cap, lmax,
+                                      bf16)
+            s1b, s2b, c2, n2 = _probe(col, (ti, tj), pre, "ji", cap, lmax,
+                                      bf16)
             s1 = s1a + s1b
             s2 = s2a + s2b
         denom = jnp.maximum(s1, 1e-30)
@@ -702,6 +741,21 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
     chain_dt = jnp.bfloat16 if bf16 else jnp.float32
 
     def kernel(pairs_ref, ti_ref, tj_ref, cap_ref, out_ref):
+        # Block skip (see _make_kernel): candidate lists are padded to a
+        # static capacity; all-masked blocks write the cull sentinel
+        # directly instead of probing 2x128 nodes per row.
+        m_lo, _ = _SLOTS["mask"]
+        blk_alive = jnp.max(pairs_ref[:, m_lo]) > 0.5
+
+        @pl.when(jnp.logical_not(blk_alive))
+        def _():
+            out_ref[:, :] = jnp.full(out_ref.shape, -1e9, out_ref.dtype)
+
+        @pl.when(blk_alive)
+        def _():
+            _stage1_body(pairs_ref, ti_ref, tj_ref, cap_ref, out_ref)
+
+    def _stage1_body(pairs_ref, ti_ref, tj_ref, cap_ref, out_ref):
         def col(name):
             lo, hi = _SLOTS[name]
             return pairs_ref[:, lo:hi]
@@ -853,14 +907,20 @@ def stage1_depth_pallas(packed, ti1, tj1, cap1, lmax: int, l1: int = 4,
 # ALP chain; the power-basis tables may admit 128 (fewer grid steps,
 # better VPU occupancy) — sweep via env on real hardware.
 _KBLOCK = int(os.environ.get("SPHERHARM_KBLOCK", "64"))
+# Stage-2 Horner chains in bfloat16 (f32 assembly). Experiment knob:
+# sweep on TPU (throughput) AND re-run the drift harness before ever
+# defaulting on — in conservative mode the force becomes the exact
+# gradient of a ~1e-3-perturbed potential.
+_STAGE2_BF16 = os.environ.get("SPHERHARM_STAGE2_BF16", "0") == "1"
 
 
 @partial(jax.jit, static_argnames=("lmax", "block", "interpret",
-                                   "conservative"))
+                                   "conservative", "bf16"))
 def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
                         block: int | None = None,
                         interpret: bool | None = None,
-                        conservative: bool = False):
+                        conservative: bool = False,
+                        bf16: bool | None = None):
     """Run the fused kernel. packed: [P, _F]; ti/tj: [P, W] pre-scaled
     power-table rows (ops/sh_power.py); cap: [4, G]; par: [1, _NPAR].
     Returns [P, _NOUT].
@@ -872,6 +932,8 @@ def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
     exact in-kernel vjp of the sampled PE (see _make_kernel)."""
     if block is None:
         block = _KBLOCK
+    if bf16 is None:
+        bf16 = _STAGE2_BF16
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     P = packed.shape[0]
@@ -892,7 +954,7 @@ def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
             vmem_limit_bytes=24 * 1024 * 1024,
         )
     out = pl.pallas_call(
-        _make_kernel(lmax, conservative),
+        _make_kernel(lmax, conservative, bf16),
         out_shape=jax.ShapeDtypeStruct((n_blocks * block, _NOUT),
                                        packed.dtype),
         grid=(n_blocks,),

@@ -198,6 +198,11 @@ class BrickSimulation(ShardedSimulation):
             1,
         )
         self.grid_dims = tuple(int(v) for v in dims)
+        # Kept for the rebalance clamp: the legality floor must undo the
+        # same triclinic inflation and worst-case compression the grid
+        # was sized with.
+        self._infl = float(infl)
+        self.deform_min = float(deform_min)
         # Sharded axes use explicit seam-shifted ghosts; only unsharded
         # dims minimum-image.
         self.periodic_eff = tuple(
@@ -449,8 +454,13 @@ class BrickSimulation(ShardedSimulation):
             L = hi - lo
             xf = np.clip((xs[act, dim] - lo) / L, 0.0, 1.0)
             h_ax = self.halo_depth_ax[ax]
+            # Mirror the init sizing (cell floor = cutoff_total * infl,
+            # grid sized at deform_min compression): a window narrower
+            # than this lets cells fall below the stencil-complete size
+            # on a triclinic or compressing run with NO overflow flag.
             min_w = max(h_ax,
-                        self.grid_dims[dim] * cutoff_total - 2 * h_ax)
+                        self.grid_dims[dim] * cutoff_total * self._infl
+                        / self.deform_min - 2 * h_ax)
             qs = clamped_quantile_fracs(
                 xf, old, n, min_w / L * (1.0 + 1e-3)
             )

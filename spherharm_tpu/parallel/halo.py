@@ -276,6 +276,9 @@ class ShardedSimulation:
             1,
         )
         self.grid_dims = tuple(int(v) for v in dims)
+        # Kept for the rebalance clamp: the bin-grid legality floor must
+        # use the SAME worst-case compression the grid was sized with.
+        self.deform_min = float(deform_min)
         # Periodicity for pair math: x images are explicit ghosts.
         self.periodic_eff = (False, self.periodic[1], self.periodic[2])
 
@@ -935,8 +938,14 @@ class ShardedSimulation:
         S = self.n_shards
         cutoff_total = float(self.params.cutoff + self.params.skin) \
             + self.tilt_pad
+        # Bin-grid legality floor: init sized grid_dims for the most-
+        # compressed box (deform_min divided in, halo.py init), so the
+        # narrowest legal window must divide it back out — otherwise a
+        # rebalance during/after compression can shrink cells below
+        # cutoff+skin and the 27-stencil silently misses neighbors.
         min_w = max(self.halo_depth,
-                    self.grid_dims[0] * cutoff_total - 2 * self.halo_depth)
+                    self.grid_dims[0] * cutoff_total / self.deform_min
+                    - 2 * self.halo_depth)
         min_frac = min_w / Lx * (1.0 + 1e-3)
         old = np.asarray(jax.device_get(ghosts.fracs), np.float64)
         qs = clamped_quantile_fracs(xf, old, S, min_frac)
@@ -979,7 +988,13 @@ def _rebalance_jit(sim: ShardedSimulation, state, neigh, ghosts):
     once; reused for every later rebalance — fracs is a traced leaf)."""
     def body(state, neigh, ghosts):
         state, neigh, ghosts = sim._rebuild(state, neigh, ghosts, fold=True)
+        # Refresh f/tau only: the previous step already advanced the
+        # springs at this configuration, and the next step will advance
+        # them again — letting this pass tick too would double-count a
+        # dt of tangential history (see Simulation.init_neighbors).
+        hist0, whist0 = neigh.pair_hist, neigh.wall_hist
         state, neigh, _ = sim._forces(state, neigh, ghosts)
+        neigh = neigh.replace(pair_hist=hist0, wall_hist=whist0)
         return state, neigh, ghosts
 
     args = (state, neigh, ghosts)
@@ -997,7 +1012,12 @@ def _init_jit(sim: ShardedSimulation, state, neigh, ghosts):
         # is authoritative and the pair list is still empty.
         state, neigh, ghosts = sim._rebuild(state, neigh, ghosts,
                                             fold=False)
+        # Setup pass fills f(t0) but must not advance spring history —
+        # the first real step integrates this same configuration (see
+        # Simulation.init_neighbors).
+        hist0, whist0 = neigh.pair_hist, neigh.wall_hist
         state, neigh, _ = sim._forces(state, neigh, ghosts)
+        neigh = neigh.replace(pair_hist=hist0, wall_hist=whist0)
         return state, neigh, ghosts
 
     args = (state, neigh, ghosts)

@@ -35,3 +35,16 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, "virtual 8-device CPU mesh expected"
+
+
+def pytest_report_header(config):
+    # Sign-post the one-process trap: the XLA:CPU compiler on jaxlib
+    # 0.9.0 intermittently SEGFAULTS compiling large shard_map programs
+    # late in a long-lived process (~46+ tests in). Full-suite runs must
+    # use the per-file isolated runner.
+    return (
+        "NOTE: full-suite runs in ONE process can die in an XLA:CPU "
+        "compiler segfault (jaxlib 0.9.0, late-process shard_map "
+        "compiles). Use `python scripts/run_suite.py` for full runs; "
+        "minimal repro: scripts/xla_cpu_segfault_repro.py"
+    )

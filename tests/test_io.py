@@ -354,3 +354,100 @@ run 2500
     v = np.asarray(runner.state.v)[np.asarray(runner.state.active)]
     assert v[0, 0] == pytest.approx(-1.0, abs=5e-3)
     assert v[1, 0] == pytest.approx(1.0, abs=5e-3)
+
+
+def test_deck_velocity_then_create_atoms():
+    """velocity -> create_atoms -> velocity (LAMMPS semantics: atoms
+    created after a velocity command start at rest until a later
+    velocity command selects them). Regression: the append path used to
+    leave atoms["v"] at the old length and crash on broadcast."""
+    deck = """
+units lj
+boundary f f f
+region box block -3 3 -3 3 -3 3
+create_box 2 box
+shape 1 sphere 0.4
+shape 2 sphere 0.4
+pair_style spherharm 100000 28571 0 0 0
+timestep 2e-4
+create_atoms 1 single -1.5 0 0
+velocity all set 0.5 0 0
+create_atoms 2 single 1.5 0 0
+create_atoms 2 single 0 1.5 0
+group newer type 2
+velocity newer set -0.25 0 0
+fix 1 all nve/sh
+run 1
+"""
+    runner = DeckRunner().run_text(deck)
+    act = np.asarray(runner.state.active)
+    v = np.asarray(runner.state.v)[act]
+    tags = np.asarray(runner.state.tag)[act]
+    order = np.argsort(tags)
+    v = v[order]
+    assert v[0, 0] == pytest.approx(0.5, abs=1e-6)
+    assert v[1, 0] == pytest.approx(-0.25, abs=1e-6)
+    assert v[2, 0] == pytest.approx(-0.25, abs=1e-6)
+
+
+def test_deck_fix_freeze_boundary_particle():
+    """fix <group> freeze: the frozen particle carries a settling
+    particle's weight without moving (force AND torque zeroed each
+    step); the mobile one comes to rest on top of it."""
+    deck = """
+units lj
+boundary f f f
+region box block -2 2 -2 2 -1 6
+create_box 1 box
+shape 1 sphere 0.5
+pair_style spherharm 100000 28571 500 250 0.3
+timestep 1e-4
+create_atoms 1 single 0 0 0.5
+create_atoms 1 single 0.05 0 2.2
+region bottom block -2 2 -2 2 -1 1
+group base region bottom
+velocity base set 0 0 0
+fix g all gravity 10 vector 0 0 -1
+fix 1 all nve/sh
+fix 2 base freeze
+run 6000
+"""
+    runner = DeckRunner().run_text(deck)
+    act = np.asarray(runner.state.active)
+    tags = np.asarray(runner.state.tag)[act]
+    x = np.asarray(runner.state.x)[act][np.argsort(tags)]
+    v = np.asarray(runner.state.v)[act][np.argsort(tags)]
+    # Frozen particle did not move at all.
+    np.testing.assert_allclose(x[0], [0.0, 0.0, 0.5], atol=1e-6)
+    np.testing.assert_allclose(v[0], 0.0, atol=1e-8)
+    # Mobile particle rests ON the frozen one (z ~ 1.4-1.5 at slight
+    # Hertz compression), not fallen through to the floor.
+    assert 1.2 < x[1, 2] < 1.6, x[1]
+    assert abs(v[1, 2]) < 0.05
+
+
+def test_deck_fix_setforce_null_components():
+    """fix setforce NULL 0 0: the NULL component keeps the accumulated
+    (gravity) force, the explicit zeros override theirs — the particle
+    accelerates along x only."""
+    deck = """
+units lj
+boundary f f f
+region box block -5 5 -5 5 -5 5
+create_box 1 box
+shape 1 sphere 0.4
+pair_style spherharm 100000 28571 0 0 0
+timestep 1e-3
+create_atoms 1 single 0 0 0
+group one type 1
+fix g all gravity 10 vector 1 0 0
+fix 1 all nve/sh
+fix 2 one setforce NULL 0 0
+run 100
+"""
+    runner = DeckRunner().run_text(deck)
+    act = np.asarray(runner.state.active)
+    v = np.asarray(runner.state.v)[act]
+    # x keeps gravity (NULL), y/z pinned to zero force.
+    assert v[0, 0] == pytest.approx(10.0 * 100 * 1e-3, rel=1e-3)
+    np.testing.assert_allclose(v[0, 1:], 0.0, atol=1e-7)

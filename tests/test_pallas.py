@@ -131,6 +131,36 @@ def test_pallas_conservative_matches_reference():
     assert inc.sum() > 3, "test system should have several contacts"
 
 
+def test_pallas_bf16_stage2_close_to_f32():
+    """SPHERHARM_STAGE2_BF16 experiment knob: the bf16 Horner chains
+    perturb the radius field by ~1e-3 relative, so forces/torques stay
+    within ~1% of the f32 kernel and the contact SET is identical for
+    non-grazing pairs. This pins the knob's plumbing + error scale; the
+    throughput/drift tradeoff is measured on TPU (tpu_battery.sh)."""
+    shapes, params, state, pi, pj, mask, hist = _random_pairs(seed=9)
+    d = minimum_image(
+        state.x[pj] - state.x[pi], state.box_lo, state.box_hi,
+        (False, False, False),
+    )
+    packed, ci, cj, cap, par = contact_pallas.pack_pairs(
+        state, shapes, params, pi, pj, mask, hist, d
+    )
+    outs = {}
+    for bf16 in (False, True):
+        outs[bf16] = np.asarray(contact_pallas.pair_contact_pallas(
+            packed, ci, cj, cap, par, lmax=shapes.lmax, block=64,
+            interpret=True, conservative=True, bf16=bf16,
+        ))
+    f32, bf = outs[False], outs[True]
+    fmag = max(float(np.abs(f32[:, 0:3]).max()), 1e-6)
+    np.testing.assert_allclose(bf[:, 0:3], f32[:, 0:3], atol=2e-2 * fmag)
+    np.testing.assert_allclose(bf[:, 3:9], f32[:, 3:9], atol=2e-2 * fmag)
+    # Contact flags agree except possibly at grazing depth.
+    inc32, incbf = f32[:, 16] > 0.5, bf[:, 16] > 0.5
+    assert (inc32 != incbf).mean() < 0.05
+    assert inc32.sum() > 3
+
+
 def test_two_stage_matches_single_stage():
     """Two-stage narrow phase (r-only coarse probe -> full kernel on
     survivors) must reproduce the single-stage forces exactly: stage 1

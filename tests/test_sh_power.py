@@ -88,7 +88,6 @@ def test_shapes_carry_power_tables():
     )
     lay = sh_power.power_layout(8)
     assert shapes.power_tbl.shape == (1, lay["W"])
-    assert shapes.power_tbl1.shape == (1, (shapes.l1 + 1) ** 2)
     assert float(shapes.tail1[0]) > 0
     assert float(shapes.gmax[0]) > 0
     sph = shapes_library.build_shapes(
