@@ -61,7 +61,7 @@ class Simulation:
         wall_capacity: int = 0,
         stage2_capacity: int = 0,
         triclinic: bool = False,
-        conservative: bool = False,
+        conservative: bool = True,
         gravity_pe_origin=(0.0, 0.0, 0.0),
         group_fixes: tuple = (),
         group_tab=None,
@@ -103,12 +103,15 @@ class Simulation:
         # (binning runs in the unsheared frame; see ops/contact.py
         # unshear_coords).
         self.triclinic = bool(triclinic)
-        # Conservative mode: elastic force/torques from the exact
-        # autodiff gradient of the sampled PE. Fixes the secular NVE
-        # energy loss of the geometric assembly at the cost of a pe-vjp
-        # per pair (~2x narrow-phase FLOPs). Composes with use_pallas
-        # (in-kernel vjp twin, parity-tested). See
-        # ops.contact.pair_elastic_grad / contact_pallas._make_kernel.
+        # Conservative mode (the DEFAULT): elastic force/torques from
+        # the exact autodiff gradient of the sampled PE. Fixes the
+        # secular NVE energy loss of the geometric assembly
+        # (-3.35%/1M -> +0.0855%/1M at the metric point, BASELINE.md)
+        # at the cost of a pe-vjp per pair. Composes with use_pallas
+        # (in-kernel vjp twin, parity-tested). The geometric assembly
+        # (conservative=False) remains as a documented opt-out for
+        # damped/driven runs where secular NVE drift is irrelevant.
+        # See ops.contact.pair_elastic_grad / contact_pallas._make_kernel.
         self.conservative = bool(conservative)
         self.gravity_pe_origin = jnp.asarray(gravity_pe_origin, jnp.float32)
         # Runtime per-group fixes (LAMMPS `fix <id> <group> freeze` /

@@ -190,7 +190,7 @@ class ShardedSimulation:
         triclinic: bool = False,
         tilt_pad: float = 0.0,
         bounds_frac=None,
-        conservative: bool = False,
+        conservative: bool = True,
     ):
         self.shapes = shapes
         self.params = params
