@@ -57,10 +57,17 @@ def main():
     # The hand-derived in-kernel backward costs ~15% over the geometric
     # law; BENCH_CONSERVATIVE=0 measures the geometric path.
     conservative = os.environ.get("BENCH_CONSERVATIVE", "1") == "1"
+    # Rebuild-transient chunking exists only to bound the n~1M probe/
+    # stencil working set (round-3 OOM fix). At bench scale (n<=300k)
+    # the unchunked transients fit HBM with room, and chunking
+    # SERIALIZES the rebuild probe into sequential kernel launches —
+    # measured round 4: chunked rebuild ~2.4 s vs 394 ms unchunked at
+    # n=100k (amortized /20: 183 vs ~85 ms/step). Chunk only at scale.
+    default_chunk = 0 if n <= 300_000 else 65536
     t0 = time.time()
     sim, state, neigh = scenarios.rotating_drum(
         n=n, lmax=lmax,
-        pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", 65536)),
+        pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", default_chunk)),
         k_max=24,
         pair_capacity=pair_cap,
         use_pallas=use_pallas,
