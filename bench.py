@@ -57,23 +57,26 @@ def main():
     # The hand-derived in-kernel backward costs ~15% over the geometric
     # law; BENCH_CONSERVATIVE=0 measures the geometric path.
     conservative = os.environ.get("BENCH_CONSERVATIVE", "1") == "1"
-    # Rebuild-transient chunking exists only to bound the n~1M probe/
-    # stencil working set (round-3 OOM fix). At bench scale (n<=300k)
-    # the unchunked transients fit HBM with room, and chunking
-    # SERIALIZES the rebuild probe into sequential kernel launches —
-    # measured round 4: chunked rebuild ~2.4 s vs 394 ms unchunked at
-    # n=100k (amortized /20: 183 vs ~85 ms/step). Chunk only at scale.
-    default_chunk = 0 if n <= 300_000 else 65536
+    # Rebuild-transient chunking (stencil rows + prefilter probe)
+    # exists only to bound the n~1M transient working set (the round-4
+    # n=1M run RESOURCE_EXHAUSTED). Simulation's auto policy (see
+    # core/simulation.py rebuild_chunk) is unchunked up to
+    # pair_capacity ~1.5M and 262144-row chunks beyond;
+    # BENCH_REBUILD_CHUNK overrides it (0 = force unchunked).
+    rebuild_chunk_env = os.environ.get("BENCH_REBUILD_CHUNK")
+    rebuild_every = int(os.environ.get("BENCH_REBUILD_EVERY", 20))
     t0 = time.time()
     sim, state, neigh = scenarios.rotating_drum(
         n=n, lmax=lmax,
-        pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", default_chunk)),
+        pair_chunk=int(os.environ.get("BENCH_PAIR_CHUNK", 0)),
         k_max=24,
         pair_capacity=pair_cap,
         use_pallas=use_pallas,
-        rebuild_every=int(os.environ.get("BENCH_REBUILD_EVERY", 20)),
+        rebuild_every=rebuild_every,
         stage2_capacity=stage2,
         conservative=conservative,
+        rebuild_chunk=(None if rebuild_chunk_env is None
+                       else int(rebuild_chunk_env)),
     )
     setup_s = time.time() - t0
     print(f"# setup {setup_s:.1f}s  n={n} lmax={lmax} "
@@ -81,7 +84,11 @@ def main():
           file=sys.stderr)
 
     # One compile: warm up and measure with the SAME block length.
-    block = int(os.environ.get("BENCH_BLOCK", 50))
+    # Default block = a multiple of the rebuild cadence so run() stays
+    # on the single statically scheduled cadence program (a remainder
+    # adds one extra rebuild + a second compiled program).
+    default_block = 3 * rebuild_every if rebuild_every > 0 else 50
+    block = int(os.environ.get("BENCH_BLOCK", default_block))
     t0 = time.time()
     state, neigh = sim.run(state, neigh, block)
     jax.block_until_ready(state.x)

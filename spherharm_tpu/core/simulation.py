@@ -55,6 +55,7 @@ class Simulation:
         exact_eval: bool | None = None,
         pair_chunk: int = 0,
         pair_capacity: int = 0,
+        rebuild_chunk: int | None = None,
         use_pallas: bool = False,
         press_control: bool = False,
         rebuild_every: int = 0,
@@ -84,6 +85,18 @@ class Simulation:
         self.exact_eval = bool(exact_eval)
         self.pair_chunk = int(pair_chunk)
         self.pair_capacity = int(pair_capacity)
+        # Chunking of the rebuild-time transients (stencil/top_k rows in
+        # cell_list_neighbors, the prefilter probe over the candidate
+        # list). Chunking exists ONLY to bound transient HBM at large N
+        # (n~1M: the unchunked probe/stencil RESOURCE_EXHAUSTED) — below
+        # that it merely serializes the rebuild into sequential
+        # launches (round 4 measured the serialized probe dominating the
+        # 394 ms rebuild at n=100k). Auto (None): unchunked up to
+        # pair_capacity ~1.5M (n~300k at the 5n candidate sizing),
+        # 262144-row chunks beyond. 0 forces unchunked.
+        if rebuild_chunk is None:
+            rebuild_chunk = 0 if int(pair_capacity) <= 1_500_000 else 262144
+        self.rebuild_chunk = int(rebuild_chunk)
         self.use_pallas = bool(use_pallas)
         # Rebuild-time narrow-phase prefilter (contact.prefilter_pair_list):
         # with a stage-2 capacity, the candidate pair list (pair_capacity
@@ -191,7 +204,7 @@ class Simulation:
         idx, mask, count, cell_ovf = neighbor.cell_list_neighbors(
             state.x, state.active, state.box_lo, state.box_hi, cutoff,
             self.grid.dims, self.cell_cap, self.k_max, self.periodic,
-            tilt=self._tilt(state),
+            tilt=self._tilt(state), row_chunk=self.rebuild_chunk,
         )
         mx = jnp.max(count)
         return idx, mask, jnp.maximum(
@@ -237,6 +250,7 @@ class Simulation:
                     window_steps=self._window_steps,
                     periodic=self.periodic,
                     tilt=self._tilt(state),
+                    probe_chunk=self.rebuild_chunk,
                 )
                 overflow = jnp.maximum(
                     overflow,
@@ -290,7 +304,7 @@ class Simulation:
                 contact.contact_force_pairs(
                     state, self.shapes, self.params, neigh,
                     exact=self.exact_eval, periodic=self.periodic,
-                    chunk=self.pair_chunk or 16384,
+                    chunk=self.pair_chunk,
                     use_pallas=self.use_pallas,
                     tilt=self._tilt(state),
                     conservative=self.conservative,
@@ -419,7 +433,17 @@ class Simulation:
                 state, neigh = _run_cadence_jit(self, state, neigh,
                                                 n_blocks, R)
             if rem:
-                state, neigh = _run_jit(self, state, neigh, rem)
+                # The remainder stays on the static schedule: one
+                # rebuild + rem-1 plain steps (a short cadence block).
+                # Routing it through the check-mode path instead is a
+                # measured performance bug: by the end of the last full
+                # block the prefilter motion budget (window = R steps)
+                # is spent, so EVERY remainder step's lax.cond fires a
+                # full rebuild — at n=100k that was +98 ms/step hidden
+                # in bench blocks of 50 with R=20 (round-4's
+                # 183-vs-85 ms/step bench-vs-profile gap).
+                state, neigh = _run_cadence_jit(self, state, neigh,
+                                                1, rem)
             return state, neigh
         return _run_jit(self, state, neigh, n_steps)
 

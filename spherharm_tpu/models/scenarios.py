@@ -65,6 +65,7 @@ def two_body_collision(
     dt: float = 2.0e-4,
     gap: float = 0.2,
     contact_quad=(12, 24),
+    conservative: bool = True,
     dtype=jnp.float32,
 ):
     """Config 1: two Lmax=0 sphere-degenerate SH particles, head-on NVE
@@ -91,6 +92,7 @@ def two_body_collision(
     )
     sim = Simulation(
         shapes, params, neighbor_mode="allpairs", k_max=1,
+        conservative=conservative,
     )
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh
@@ -108,10 +110,16 @@ def settling_box(
     box_side: float | None = None,
     seed: int = 0,
     k_max: int = 32,
+    conservative: bool = False,
     dtype=jnp.float32,
 ):
     """Config 2: ~500 Lmax=2 ellipsoid-like particles settling under
-    gravity into a box, Hertz + Coulomb friction (BASELINE.json:8)."""
+    gravity into a box, Hertz + Coulomb friction (BASELINE.json:8).
+
+    Damped/driven config: secular NVE drift is irrelevant here, so the
+    geometric elastic law (conservative=False) is the documented
+    recommendation (docs/PHYSICS.md) and the default for this helper —
+    the framework-level Simulation default stays conservative."""
     a = mean_radius * np.asarray(aspect) / np.cbrt(np.prod(aspect))
     shapes = shapes_library.build_shapes(
         [shapes_library.ellipsoid_coeffs(a[0], a[1], a[2], lmax)],
@@ -161,6 +169,7 @@ def settling_box(
     sim = Simulation(
         shapes, params, neighbor_mode="cell", grid=grid,
         k_max=k_max, cell_cap=12, walls=walls,
+        conservative=conservative,
     )
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh
@@ -190,7 +199,8 @@ def rotating_drum(
     rebuild_every: int = 0,
     exact_eval: bool | None = None,
     stage2_capacity: int = 0,
-    conservative: bool = False,
+    conservative: bool = True,
+    rebuild_chunk: int | None = None,
     dtype=jnp.float32,
 ):
     """Config 4: N polydisperse Lmax=8 particles in a rotating drum —
@@ -269,7 +279,7 @@ def rotating_drum(
         pair_capacity=pair_capacity, use_pallas=use_pallas,
         rebuild_every=rebuild_every, exact_eval=exact_eval,
         wall_capacity=wall_cap, stage2_capacity=stage2_capacity,
-        conservative=conservative,
+        conservative=conservative, rebuild_chunk=rebuild_chunk,
     )
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh
@@ -297,6 +307,7 @@ def triaxial_cell(
     mesh=None,
     cap_local: int = 0,
     halo_cap: int = 0,
+    conservative: bool = False,
 ):
     """Config 5: triaxial shear cell with periodic boundaries and
     stress-tensor output (BASELINE.json:11). Diagonal strain-rate control
@@ -356,6 +367,7 @@ def triaxial_cell(
             pair_capacity=max(12 * n // n_dev, 256),
             deform_min=deform_min,
             triclinic=triclinic,
+            conservative=conservative,
             # covers |xy| up to 12% of the box; longer shear runs should
             # pass their own pad via halo_cap/slab sizing
             tilt_pad=0.12 * box if triclinic else 0.0,
@@ -370,6 +382,7 @@ def triaxial_cell(
         shapes, params, periodic=periodic, neighbor_mode="cell", grid=grid,
         k_max=k_max, cell_cap=16, pair_capacity=max(12 * n, 512),
         press_control=press_tau > 0, triclinic=triclinic,
+        conservative=conservative,
     )
     st, ng = sim.init_neighbors(state)
     return sim, st, ng
@@ -383,7 +396,9 @@ def deposition(
 ):
     """Config 3: deposition of scanned-shape Lmax=8 particles with
     high-order quadrature grids — torque/rotation fidelity
-    (BASELINE.json:9). Same geometry as the drum, spinning disabled."""
+    (BASELINE.json:9). Same geometry as the drum, spinning disabled.
+    Damped config: geometric elastic law by default (see settling_box)."""
+    kw.setdefault("conservative", False)
     return rotating_drum(
         n=n, lmax=lmax, drum_omega=0.0, contact_quad=contact_quad, **kw
     )

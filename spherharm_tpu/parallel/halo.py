@@ -1053,9 +1053,12 @@ def _run_jit(sim: ShardedSimulation, state, neigh, ghosts, n_steps: int):
             return (s, n, g), None
 
         if R > 0:
-            # Cadence blocks + a displacement-checked remainder (so a
-            # non-multiple n_steps no longer silently falls back to
-            # per-step checking for the WHOLE run).
+            # Cadence blocks + a statically scheduled remainder (one
+            # rebuild + rem-1 comm steps). Routing the remainder
+            # through the check-mode path is the round-4 perf bug: the
+            # prefilter motion budget (window = R) is spent by the end
+            # of the last full block, so every remainder step's cond
+            # fires a full rebuild (see core/simulation.py Simulation.run).
             n_blocks, rem = divmod(n_steps, R)
             if n_blocks > 0:
                 (state, neigh, ghosts), _ = jax.lax.scan(
@@ -1063,9 +1066,13 @@ def _run_jit(sim: ShardedSimulation, state, neigh, ghosts, n_steps: int):
                     length=n_blocks,
                 )
             if rem:
-                (state, neigh, ghosts), _ = jax.lax.scan(
-                    one, (state, neigh, ghosts), None, length=rem
-                )
+                s, n, g = state, neigh, ghosts
+                s, n, g, _ = sim._local_step(s, n, g, rebuild="always")
+                if rem > 1:
+                    (s, n, g), _ = jax.lax.scan(
+                        comm_step, (s, n, g), None, length=rem - 1
+                    )
+                state, neigh, ghosts = s, n, g
             return state, neigh, ghosts
         (state, neigh, ghosts), _ = jax.lax.scan(
             one, (state, neigh, ghosts), None, length=n_steps
