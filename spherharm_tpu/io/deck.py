@@ -24,6 +24,7 @@ Supported commands (LAMMPS syntax; unknown commands raise):
   velocity all create <KE-per-atom> <seed> | velocity all set vx vy vz
   pair_style spherharm <kn> <kt> <gamma_n> <gamma_t> <mu> [lmax <L>]
              [rolling <k_roll> <gamma_roll> <mu_roll>]
+             [conservative {on|off}]
   pair_coeff * * | pair_coeff <i> <j> <kn> <kt> <gn> <gt> <mu> [kr gr mur]
   neighbor <skin> bin
   neigh_modify every <N> check {yes|no}
@@ -218,6 +219,7 @@ class DeckRunner:
         self.press_target = 0.0
         self.press_tau = 0.0
         self.rebuild_every = 0
+        self.conservative = True     # pair_style ... conservative on|off
         self.walls = []
         self.fixes = []
         self.group_fix_decls = []    # (group id, kind, values3, keep3)
@@ -642,6 +644,16 @@ class DeckRunner:
         if "rolling" in a:
             i = a.index("rolling")
             self.rolling = tuple(float(v) for v in a[i + 1:i + 4])
+        # ``conservative {on|off}``: opt out of the exact-gradient
+        # elastic law (the framework default). Damped/driven decks —
+        # most decks — don't care about secular NVE drift and the
+        # geometric assembly skips the pe-vjp (~15% on TPU, several x
+        # on CPU). See docs/PHYSICS.md "conservative mode".
+        if "conservative" in a:
+            v = a[a.index("conservative") + 1].lower()
+            if v not in ("on", "off", "yes", "no"):
+                raise DeckError(f"conservative {v!r}: expected on|off")
+            self.conservative = v in ("on", "yes")
 
     def cmd_pair_coeff(self, a):
         # ``pair_coeff i j kn kt gamma_n gamma_t mu [kr gr mur]`` sets a
@@ -879,6 +891,7 @@ class DeckRunner:
             press_control=self.press_tau > 0,
             rebuild_every=self.rebuild_every,
             triclinic=triclinic,
+            conservative=self.conservative,
             group_fixes=group_fixes,
             group_tab=group_tab,
         )

@@ -75,7 +75,7 @@ class BrickSimulation(ShardedSimulation):
         rebuild_every: int = 0,
         wall_capacity: int = 0,
         stage2_capacity: int = 0,
-        conservative: bool = False,
+        conservative: bool = True,
         bounds_frac: dict | None = None,
         triclinic: bool = False,
         tilt_pad=0.0,

@@ -58,6 +58,7 @@ def test_brick2d_matches_single_device():
     sim1 = Simulation(
         shapes, params, periodic=periodic, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+        conservative=False,
     )
     s1, n1 = sim1.init_neighbors(state0)
     s1, n1 = sim1.run(s1, n1, 120)
@@ -68,6 +69,7 @@ def test_brick2d_matches_single_device():
         shapes, params, mesh=mesh, box_lo=(0, 0, 0),
         box_hi=(box, box, box), cap_local=96, halo_cap=64, migrate_cap=24,
         periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+        conservative=False,
     )
     sb, ngb, ghb = simb.init(state0)
     sb, ngb, ghb = simb.run(sb, ngb, ghb, 120)
@@ -102,6 +104,7 @@ def test_brick2d_migration_both_axes():
         box_hi=(box, box, box), cap_local=64, halo_cap=48, migrate_cap=32,
         periodic=(True, True, True), k_max=24, cell_cap=12,
         pair_capacity=512,
+        conservative=False,
     )
     s, ng, gh = sim.init(state0)
     tags0 = sorted(
@@ -133,6 +136,7 @@ def test_brick3d_matches_single_device():
     sim1 = Simulation(
         shapes, params, periodic=periodic, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+        conservative=False,
     )
     s1, n1 = sim1.init_neighbors(state0)
     s1, n1 = sim1.run(s1, n1, 120)
@@ -144,6 +148,7 @@ def test_brick3d_matches_single_device():
         shapes, params, mesh=mesh, box_lo=(0, 0, 0),
         box_hi=(box, box, box), cap_local=96, halo_cap=64, migrate_cap=24,
         periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+        conservative=False,
     )
     sb, ngb, ghb = simb.init(state0)
     sb, ngb, ghb = simb.run(sb, ngb, ghb, 120)
@@ -190,6 +195,7 @@ def test_brick_weighted_bounds_clustered():
     sim1 = Simulation(
         shapes, params, periodic=(True,) * 3, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+        conservative=False,
     )
     s1, n1 = sim1.init_neighbors(state0)
     # 60 steps: long enough for several migrations/rebuilds, short
@@ -214,6 +220,7 @@ def test_brick_weighted_bounds_clustered():
         # grid is sized for the narrowest brick) — higher occupancy cap.
         periodic=(True,) * 3, k_max=24, cell_cap=36, pair_capacity=512,
         bounds_frac=bounds,
+        conservative=False,
     )
     sb, ngb, ghb = simb.init(state0)
     sb, ngb, ghb = simb.run(sb, ngb, ghb, 60)
@@ -244,6 +251,7 @@ def test_brick2d_gather_restart_roundtrip(tmp_path):
         cap_local=48, halo_cap=32, migrate_cap=16,
         periodic=(True, True, True), k_max=16, cell_cap=10,
         pair_capacity=384,
+        conservative=False,
     )
     sim = Brick2DSimulation(**kw)
     s, ng, gh = sim.init(state0)
@@ -277,6 +285,7 @@ def test_brick_inrun_rebalance():
     sim1 = Simulation(
         shapes, params, periodic=periodic, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+        conservative=False,
     )
     s1, n1 = sim1.init_neighbors(state0)
     s1, n1 = sim1.run(s1, n1, 50)
@@ -288,6 +297,7 @@ def test_brick_inrun_rebalance():
         box_hi=(box, box, box),
         cap_local=96, halo_cap=64, migrate_cap=32,
         periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+        conservative=False,
     )
     sb, ngb, ghb = simb.init(state0)
     sb, ngb, ghb = simb.run(sb, ngb, ghb, 50)
@@ -349,6 +359,7 @@ def test_brick_triclinic_matches_single():
         shapes, params, periodic=periodic, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=16, pair_capacity=1024,
         triclinic=True,
+        conservative=False,
     )
     s1, n1 = sim1.init_neighbors(state0)
     s1, n1 = sim1.run(s1, n1, 120)
@@ -360,6 +371,7 @@ def test_brick_triclinic_matches_single():
         cap_local=96, halo_cap=72, migrate_cap=32,
         periodic=periodic, k_max=24, cell_cap=16, pair_capacity=768,
         triclinic=True, tilt_pad=1.3,
+        conservative=False,
     )
     sb, ngb, ghb = simb.init(state0)
     sb, ngb, ghb = simb.run(sb, ngb, ghb, 120)

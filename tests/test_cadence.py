@@ -14,7 +14,7 @@ pytestmark = pytest.mark.slow  # minutes-long physics horizons
 def test_cadence_matches_triggered():
     kw = dict(n=64, lmax=4, dt=1e-4, k_max=16, drum_omega=0.3,
               n_shape_types=2, contact_quad=(8, 16), pair_capacity=1024,
-              pair_chunk=512, drum_radius_factor=8.0)
+              pair_chunk=512, drum_radius_factor=8.0, conservative=False)
     sim_a, s_a, n_a = scenarios.rotating_drum(**kw)
     sim_b, s_b, n_b = scenarios.rotating_drum(**kw, rebuild_every=10)
     s_a, n_a = sim_a.run(s_a, n_a, 400)
@@ -34,7 +34,7 @@ def test_cadence_detects_skin_violation():
     # violation counter (detection without branching).
     kw = dict(n=64, lmax=2, dt=1e-3, k_max=16, drum_omega=2.0,
               n_shape_types=1, contact_quad=(6, 12), pair_capacity=1024,
-              pair_chunk=512, drum_radius_factor=8.0)
+              pair_chunk=512, drum_radius_factor=8.0, conservative=False)
     sim, state, neigh = scenarios.rotating_drum(**kw, rebuild_every=400)
     # Give everything a large velocity so skin/2 is crossed quickly.
     rng = np.random.default_rng(0)

@@ -36,6 +36,7 @@ def _dense_gas(n=64, lmax=2, seed=0):
     sim = Simulation(
         shapes, params, periodic=(True, True, True), neighbor_mode="cell",
         grid=grid, k_max=16, cell_cap=10, pair_capacity=1024,
+        conservative=False,  # observable plumbing, not drift, is the subject
     )
     state, neigh = sim.init_neighbors(state)
     # A few steps so contacts carry live springs.
@@ -126,7 +127,7 @@ def test_coord_and_contact_atom():
         [-1, -2, -2], [5, 2, 2],
     )
     sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=4,
-                     pair_capacity=16)
+                     pair_capacity=16, conservative=False)
     st, ng = sim.init_neighbors(state)
     coord = np.asarray(computes.compute("coord/atom", sim, st, ng))
     cont = np.asarray(computes.compute("contact/atom", sim, st, ng))

@@ -32,7 +32,8 @@ def _blob_pair_state(seed, lmax=8, contact_quad=(12, 24)):
         v=rng.normal(size=(2, 3)) * 0.1,
         shtype=[0, 1],
     )
-    sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=1)
+    sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=1,
+                     conservative=False)
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh
 

@@ -12,7 +12,7 @@ from spherharm_tpu.utils import validate
 def test_replica_sweep_gamma():
     """A restitution sweep in ONE compiled program: higher damping ->
     lower outgoing speed, and the gamma=0 replica matches the solo run."""
-    sim, state, neigh = scenarios.two_body_collision(gamma_n=0.0, dt=2e-4)
+    sim, state, neigh = scenarios.two_body_collision(gamma_n=0.0, dt=2e-4, conservative=False)
     R = 4
     states = ensemble.replicate(state, R)
     neighs = ensemble.replicate(neigh, R)
@@ -30,7 +30,7 @@ def test_replica_sweep_gamma():
 
 
 def test_validate_helpers():
-    sim, state, neigh = scenarios.two_body_collision()
+    sim, state, neigh = scenarios.two_body_collision(conservative=False)
     validate.check_finite(state, "initial")
     rep = validate.audit_capacities(sim, neigh)
     assert rep["overflow_channel"] == (0, 0)
@@ -45,7 +45,7 @@ def test_validate_helpers():
 
 
 def test_determinism():
-    sim, state, neigh = scenarios.two_body_collision()
+    sim, state, neigh = scenarios.two_body_collision(conservative=False)
 
     def runner(s, n):
         return sim.run(s, n, 200)

@@ -22,7 +22,7 @@ def _free_ellipsoid(dt=1e-3, angmom=(0.4, 0.05, 0.8), dtype=jnp.float32):
         [[0.0, 0.0, 0.0]], [-5, -5, -5], [5, 5, 5],
         angmom=[angmom], dtype=dtype,
     )
-    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1)
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1, conservative=False)
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh
 
@@ -56,7 +56,7 @@ def test_rotation_rate_sphere():
         [[0.0, 0.0, 0.0]], [-5, -5, -5], [5, 5, 5],
         angmom=[[0.0, 0.0, inertia * omega_z]],
     )
-    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1)
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1, conservative=False)
     state, neigh = sim.init_neighbors(state)
     state, neigh = sim.run(state, neigh, n)
     angle = omega_z * dt * n

@@ -58,7 +58,7 @@ def _two_sphere_sim(params, dt=2e-4):
         v=[[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]],
         shtype=[0, 1],
     )
-    sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=4)
+    sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=4, conservative=False)
     st, ng = sim.init_neighbors(state)
     return sim, st, ng
 

@@ -193,7 +193,7 @@ def test_two_stage_matches_single_stage():
     )
     grid = CellGrid([0, 0, 0], [box] * 3, 1.7)
     kw = dict(neighbor_mode="cell", grid=grid, k_max=24, cell_cap=12,
-              pair_capacity=1024, use_pallas=True)
+              pair_capacity=1024, use_pallas=True, conservative=False)
     sim_a = Simulation(shapes, params, stage2_capacity=256, **kw)
     sim_b = Simulation(shapes, params, stage2_capacity=0, **kw)
     sa, na = sim_a.init_neighbors(state)

@@ -42,6 +42,9 @@ def _setup(n=48, lmax=4, seed=3, box=10.0, skin=0.3):
 
 def _mk(shapes, params, box, stage2, pair_cap=2048, **kw):
     grid = CellGrid([0, 0, 0], [box] * 3, 1.6, (True,) * 3)
+    # Prefilter equivalence, not drift, is the subject (conservative
+    # coverage: test_conservative.py) — geometric keeps CPU cost sane.
+    kw.setdefault("conservative", False)
     return Simulation(
         shapes, params, periodic=(True,) * 3, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=12, pair_capacity=pair_cap,

@@ -32,7 +32,7 @@ def _contacting_pair():
         [-2, -2, -2], [2, 2, 2],
         v=[[0.0, 0.5, 0.0], [0.0, -0.5, 0.0]],
     )
-    sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=1)
+    sim = Simulation(shapes, params, neighbor_mode="allpairs", k_max=1, conservative=False)
     return sim, state
 
 

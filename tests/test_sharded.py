@@ -57,6 +57,7 @@ def test_sharded_matches_single_device():
     sim1 = Simulation(
         shapes, params, periodic=periodic, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+        conservative=False,
     )
     s1, n1 = sim1.init_neighbors(state0)
     s1, n1 = sim1.run(s1, n1, 120)
@@ -68,6 +69,7 @@ def test_sharded_matches_single_device():
         shapes, params, mesh=mesh, box_lo=(0, 0, 0), box_hi=(box, box, box),
         cap_local=96, halo_cap=64, migrate_cap=32,
         periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+        conservative=False,
     )
     s8, ng8, gh8 = sim8.init(state0)
     s8, ng8, gh8 = sim8.run(s8, ng8, gh8, 120)
@@ -114,6 +116,7 @@ def test_migration_preserves_particles():
         cap_local=64, halo_cap=48, migrate_cap=32,
         periodic=(True, True, True), k_max=24, cell_cap=12,
         pair_capacity=512,
+        conservative=False,
     )
     s, ng, gh = sim.init(state0)
     tags0 = sorted(
@@ -176,6 +179,7 @@ def test_seam_crossing_pairs_match_single_device():
     sim1 = Simulation(
         shapes, params, periodic=periodic, neighbor_mode="cell",
         grid=grid, k_max=8, cell_cap=8, pair_capacity=256,
+        conservative=False,
     )
     s1, n1 = sim1.init_neighbors(state0)
 
@@ -184,6 +188,7 @@ def test_seam_crossing_pairs_match_single_device():
         shapes, params, mesh=mesh, box_lo=(0, 0, 0),
         box_hi=(box, box, box), cap_local=32, halo_cap=16, migrate_cap=8,
         periodic=periodic, k_max=8, cell_cap=8, pair_capacity=128,
+        conservative=False,
     )
     s8, ng8, gh8 = sim8.init(state0)
 
@@ -267,6 +272,7 @@ def test_sharded_pallas_matches_jnp_path():
         cap_local=64, halo_cap=48, migrate_cap=24,
         periodic=(True, True, True), k_max=16, cell_cap=12,
         pair_capacity=512,
+        conservative=False,
     )
     sim_j = ShardedSimulation(use_pallas=False, **kw)
     sj, nj, gj = sim_j.init(state0)
@@ -330,6 +336,7 @@ def test_sharded_restart_roundtrip(tmp_path):
         cap_local=48, halo_cap=32, migrate_cap=16,
         periodic=(True, True, False), k_max=16, cell_cap=12,
         pair_capacity=512,
+        conservative=False,
     )
     sim_a = ShardedSimulation(mesh=mesh4, **kw)
     sa, na, ga = sim_a.init(state0)
@@ -416,6 +423,7 @@ def _run_weighted_balance_case(balance_fracs):
         halo_cap=48, migrate_cap=24,
         periodic=(True, True, True), k_max=16, cell_cap=10,
         pair_capacity=512,
+        conservative=False,
     )
     fr = balance_fracs(state0, n_dev,
                        min_frac=1.02 * float(params.cutoff + params.skin)
@@ -465,6 +473,7 @@ def test_sharded_prefilter_matches_single_device():
     sim1 = Simulation(
         shapes, params, periodic=periodic, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+        conservative=False,
     )
     s1, n1 = sim1.init_neighbors(state0)
     s1, n1 = sim1.run(s1, n1, 80)
@@ -477,6 +486,7 @@ def test_sharded_prefilter_matches_single_device():
         cap_local=96, halo_cap=64, migrate_cap=32,
         periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
         use_pallas=True, stage2_capacity=256,
+        conservative=False,
     )
     sp, ngp, ghp = simp.init(state0)
     assert ngp.pair_i.shape[0] == n_dev * 256  # stage2-sized pair leaves
@@ -510,6 +520,7 @@ def test_inrun_rebalance_no_recompile():
     sim1 = Simulation(
         shapes, params, periodic=periodic, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=12, pair_capacity=1024,
+        conservative=False,
     )
     s1, n1 = sim1.init_neighbors(state0)
     s1, n1 = sim1.run(s1, n1, 60)
@@ -521,6 +532,7 @@ def test_inrun_rebalance_no_recompile():
         box_hi=(box, box, box),
         cap_local=96, halo_cap=64, migrate_cap=32,
         periodic=periodic, k_max=24, cell_cap=12, pair_capacity=768,
+        conservative=False,
     )
     s8, ng8, gh8 = sim8.init(state0)
     s8, ng8, gh8 = sim8.run(s8, ng8, gh8, 60)

@@ -66,6 +66,7 @@ def _single_ref(shapes, params, state0, box, steps, pair_capacity=8192):
     sim = Simulation(
         shapes, params, periodic=(True,) * 3, neighbor_mode="cell",
         grid=grid, k_max=24, cell_cap=16, pair_capacity=pair_capacity,
+        conservative=False,
     )
     s, ng = sim.init_neighbors(state0)
     s, ng = sim.run(s, ng, steps)
@@ -88,6 +89,7 @@ def test_stress_slab_gas_1k():
         box_hi=(box, box, box),
         cap_local=512, halo_cap=512, migrate_cap=128,
         periodic=(True,) * 3, k_max=24, cell_cap=16, pair_capacity=4096,
+        conservative=False,
     )
     s8, ng8, gh8 = sim8.init(state0)
     for _ in range(4):
@@ -128,6 +130,7 @@ def test_stress_rebalance_under_flow():
         box_hi=(box, box, box),
         cap_local=512, halo_cap=384, migrate_cap=128,
         periodic=(True,) * 3, k_max=24, cell_cap=16, pair_capacity=4096,
+        conservative=False,
     )
     s4, ng4, gh4 = sim4.init(state0)
     fr0 = np.asarray(jax.device_get(gh4.fracs))
@@ -160,6 +163,7 @@ def test_migrate_cap_overflow_flags_loudly():
         box_hi=(box, box, box),
         cap_local=256, halo_cap=256, migrate_cap=1,
         periodic=(True,) * 3, k_max=24, cell_cap=16, pair_capacity=2048,
+        conservative=False,
     )
     s, ng, gh = sim.init(state0)
     for _ in range(4):
@@ -184,6 +188,7 @@ def test_brick_vs_slab_vs_single_long_horizon():
         box_hi=(box, box, box),
         cap_local=384, halo_cap=384, migrate_cap=96,
         periodic=(True,) * 3, k_max=24, cell_cap=16, pair_capacity=2048,
+        conservative=False,
     )
     ss, ngs, ghs = sim_s.init(state0)
     ss, ngs, ghs = sim_s.run(ss, ngs, ghs, steps)
@@ -196,6 +201,7 @@ def test_brick_vs_slab_vs_single_long_horizon():
         box_hi=(box, box, box),
         cap_local=384, halo_cap=256, migrate_cap=96,
         periodic=(True,) * 3, k_max=24, cell_cap=16, pair_capacity=2048,
+        conservative=False,
     )
     sb, ngb, ghb = sim_b.init(state0)
     sb, ngb, ghb = sim_b.run(sb, ngb, ghb, steps)

@@ -79,6 +79,7 @@ def test_seam_contact_equals_interior_contact():
             shapes, params, periodic=(True, True, True),
             neighbor_mode="cell", grid=grid, k_max=4, cell_cap=6,
             pair_capacity=8, triclinic=True,
+            conservative=False,
         )
         st, ng = sim.init_neighbors(state)
         st, ng, _ = sim.compute_forces(st, ng)

@@ -23,7 +23,7 @@ def _dropped_sphere(gamma_n=200.0, kn=1e5, R=0.5, h=0.6, mu=0.0):
         [[0.0, 0.0, h]], [-2, -2, 0], [2, 2, 4],
     )
     walls = (PlaneWall.create((0, 0, 0), (0, 0, 1)),)
-    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1, conservative=False,
                      walls=walls)
     state, neigh = sim.init_neighbors(state)
     return sim, state, neigh
@@ -68,7 +68,7 @@ def test_cylinder_wall_confines():
         v=[[1.5, 0.0, 0.0]],
     )
     walls = (CylinderWall.create((0, 0, 0), (0, 1, 0), R_c, omega=0.0),)
-    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1, conservative=False,
                      walls=walls)
     state, neigh = sim.init_neighbors(state)
     # A frictional sphere rolling inside a cylinder has near-zero
@@ -121,7 +121,7 @@ def test_rolling_resistance_decelerates_rolling_sphere():
             angmom=[[0.0, inertia * omega_y, 0.0]],
         )
         walls = (PlaneWall.create((0, 0, 0), (0, 0, 1)),)
-        sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+        sim = Simulation(shapes, params, neighbor_mode="static", k_max=1, conservative=False,
                          walls=walls)
         state, neigh = sim.init_neighbors(state)
         state, neigh = sim.run(state, neigh, 20000)
@@ -153,7 +153,7 @@ def test_cylinder_settles_with_rolling_resistance():
         v=[[1.5, 0.0, 0.0]],
     )
     walls = (CylinderWall.create((0, 0, 0), (0, 1, 0), R_c, omega=0.0),)
-    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1, conservative=False,
                      walls=walls)
     state, neigh = sim.init_neighbors(state)
     z_bot = -(R_c - R_p)
@@ -184,7 +184,7 @@ def test_rotating_drum_drags_particle():
         [[0.0, 0.0, -(R_c - R_p) + 0.01]], [-3, -3, -3], [3, 3, 3],
     )
     walls = (CylinderWall.create((0, 0, 0), (0, 1, 0), R_c, omega=0.5),)
-    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1,
+    sim = Simulation(shapes, params, neighbor_mode="static", k_max=1, conservative=False,
                      walls=walls)
     state, neigh = sim.init_neighbors(state)
     state, neigh = sim.run(state, neigh, 5000)
