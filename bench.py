@@ -103,12 +103,20 @@ def main():
     n_steps = n_blocks * block
     ps_per_s = n * n_steps / wall
     overflow = int(neigh.overflow)
+    skin_viol = int(neigh.skin_violations)
     therm = sim.thermo(state, neigh)
     print(
         f"# {n_steps} steps in {wall:.2f}s; overflow={overflow} "
-        f"etot={float(therm['etot']):.6g}",
+        f"skin_violations={skin_viol} etot={float(therm['etot']):.6g}",
         file=sys.stderr,
     )
+    # Static cadence only RECORDS displacement-budget violations (it
+    # never branches); a nonzero count means the pair list may have
+    # missed a contact between rebuilds — the number is void.
+    if skin_viol != 0:
+        print(f"# FATAL: {skin_viol} skin violations at cadence "
+              f"{sim.rebuild_every} — raise the rebuild rate", file=sys.stderr)
+        sys.exit(1)
     # The overflow channel is per-source gated (each count contributes
     # only when it exceeds its OWN capacity — see Simulation._build_list)
     # so ANY nonzero value means physics was silently truncated — fail

@@ -108,10 +108,59 @@ def main():
     print(f"kernel      {t_ker*1e3:8.2f} ms  ({sim.pair_list_cap} pairs)",
           flush=True)
 
-    reb = jax.jit(lambda st, ng: sim._rebuild(st, ng)[1].idx)
+    # Materialize EVERY rebuild output (round-4 bug: returning only
+    # .idx let XLA dead-code-eliminate the pair build, the prefilter
+    # probe and the history remap — 'rebuild 394 ms' was just the cell
+    # list; the true figure was ~3.1 s, measured from the R-sweep).
+    def _reb_all(st, ng):
+        st2, ng2 = sim._rebuild(st, ng)
+        return (ng2.idx, ng2.hist, ng2.pair_i, ng2.pair_hist,
+                ng2.budget, ng2.overflow, st2.x)
+
+    reb = jax.jit(_reb_all)
     t_reb = timeit(lambda: reb(state, neigh), n=3)
     print(f"rebuild     {t_reb*1e3:8.2f} ms  (every {sim.rebuild_every})",
           flush=True)
+
+    # Rebuild pieces (each fully materialized).
+    cutoff = float(params.cutoff) + float(params.skin)
+    from spherharm_tpu.ops import neighbor as neigh_mod
+
+    cell = jax.jit(lambda st: neigh_mod.cell_list_neighbors(
+        st.x, st.active, st.box_lo, st.box_hi, cutoff,
+        sim.grid.dims, sim.cell_cap, sim.k_max, sim.periodic,
+        row_chunk=sim.rebuild_chunk))
+    idx, mask, cnt, covf = cell(state)
+    jax.block_until_ready(idx)
+    t_cell = timeit(lambda: cell(state)[0], n=3)
+    print(f"  cell_list {t_cell*1e3:8.2f} ms", flush=True)
+
+    remap = jax.jit(lambda ng, tags: neigh_mod.remap_history(
+        tags, mask, ng.neigh_tag, ng.mask, ng.hist,
+        jnp.ones_like(state.tag, bool)))
+    neigh_tag = jnp.where(mask, state.tag[idx], 0)
+    t_rm = timeit(lambda: remap(neigh, neigh_tag), n=3)
+    print(f"  remap     {t_rm*1e3:8.2f} ms", flush=True)
+
+    bpl = jax.jit(lambda st, h: contact.build_pair_list(
+        st, shapes, params, idx, mask, h, st.active,
+        sim.pair_capacity, sim.periodic)[0]["pair_i"])
+    t_bpl = timeit(lambda: bpl(state, neigh.hist), n=3)
+    print(f"  pair_build{t_bpl*1e3:8.2f} ms", flush=True)
+
+    if sim.prefilter:
+        fields, n_pairs = contact.build_pair_list(
+            state, shapes, params, idx, mask, neigh.hist, state.active,
+            sim.pair_capacity, sim.periodic)
+        jax.block_until_ready(fields["pair_i"])
+
+        pref = jax.jit(lambda fl: contact.prefilter_pair_list(
+            state, shapes, params, fl, sim.stage2_capacity, sim.k_max,
+            window_steps=sim._window_steps, periodic=sim.periodic,
+            probe_chunk=sim.rebuild_chunk)[0]["pair_i"])
+        t_pref = timeit(lambda: pref(fields), n=3)
+        print(f"  prefilter {t_pref*1e3:8.2f} ms "
+              f"(probe+compact over {sim.pair_capacity} cand)", flush=True)
 
     if sim.walls:
         @jax.jit

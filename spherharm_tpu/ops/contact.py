@@ -821,6 +821,17 @@ def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
     nc_ab = (shapes.lmax + 1) ** 2  # A/B prefix of the power layout
     hw = fields["pair_hist"].shape[-1]
 
+    # Probe on the COARSE stage-1 cap grid (Shapes.cap1_*, 32 nodes) —
+    # the 0.08 rchar slack below is calibrated for exactly this grid.
+    # Round-4 regression: pack_pairs returns the full 128-node contact
+    # grid and the probe ran on THAT — 4x the designed nodes; combined
+    # with the full-basis choice the probe cost 5.05 s over 1M
+    # candidates while the whole stage-2 step kernel costs 25 ms
+    # (profile 2026-08-19). Full basis stays (the l1-truncation tail
+    # would eat the filter margin, see below); the grid does not.
+    cap1 = jnp.stack([shapes.cap1_x, shapes.cap1_glw,
+                      shapes.cap1_cpsi, shapes.cap1_spsi], axis=0)
+
     def probe_rows(args):
         # One probe block: pack + full-basis f32 r-only depth. Packing
         # per block bounds the [P, 81]x2 power-table gathers — the
@@ -828,7 +839,7 @@ def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
         # unchunked; the n=1M single-chip OOM).
         pi_b, pj_b, msk_b, dp_b = args
         hist_b = jnp.zeros((pi_b.shape[0], hw), dp_b.dtype)
-        packed, _, _, cap, _ = contact_pallas.pack_pairs(
+        packed, _, _, _, _ = contact_pallas.pack_pairs(
             state, shapes, params, pi_b, pj_b, msk_b, hist_b, dp_b,
             rows=rows, probe_only=True,
         )
@@ -838,7 +849,7 @@ def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
         tj_ab = shapes.power_tbl[state.shtype[pj_b], :nc_ab] \
             * state.scale[pj_b][:, None]
         return contact_pallas.stage1_depth_pallas(
-            packed, ti_ab, tj_ab, cap, lmax=shapes.lmax, l1=shapes.lmax,
+            packed, ti_ab, tj_ab, cap1, lmax=shapes.lmax, l1=shapes.lmax,
             bf16=False,
         )
 
