@@ -46,11 +46,17 @@ def timeit(fn, *args, n=5, warmup=2):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     lmax = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    stage2 = int(os.environ.get("PROF_STAGE2", int(3.5 * n)))
+    # Match bench.py's caps EXACTLY by default (3n stage-2, 5n
+    # candidates) so every sim.run program rides the bench's cache
+    # entries — the round-4 3.5n default missed them and paid a
+    # multi-minute recompile to measure the same thing.
+    stage2 = int(os.environ.get("PROF_STAGE2", 3 * n))
+    pair_cap = int(os.environ.get("PROF_PAIR_CAP", 5 * n))
     cons = os.environ.get("PROF_CONS", "1") == "1"
     sim, state, neigh = scenarios.rotating_drum(
         n=n, lmax=lmax, k_max=24, use_pallas=True,
         rebuild_every=20, stage2_capacity=stage2, conservative=cons,
+        pair_capacity=pair_cap,
     )
     print(f"# n={n} lmax={lmax} cand_cap={sim.pair_capacity} "
           f"pair_list_cap={sim.pair_list_cap} conservative={cons}",
