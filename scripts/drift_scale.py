@@ -143,11 +143,27 @@ def main():
         if ovf != 0:
             print("# FATAL: overflow — truncated physics", flush=True)
             sys.exit(1)
-        if nblk % 50 == 0:
+        if nblk % 10 == 0:
             restart_io.write_restart(
                 CKPT, state, neigh, sim.params,
                 extra={"done": done, "samples": np.asarray(samples)},
             )
+            if len(samples) > 10:
+                s = np.asarray(samples, float)
+                slope = np.polyfit(s[:, 0], s[:, 1], 1)[0]
+                print(f"# interim drift slope: "
+                      f"{slope * 1e6 / abs(s[0, 1]):+.4%} per 1M steps",
+                      flush=True)
+        # Cooperative pause: `touch /tmp/drift_stop` checkpoints and
+        # exits cleanly BETWEEN TPU dispatches (never kill this process
+        # mid-dispatch — HANDOFF rule). Rerunning resumes from the ckpt.
+        if os.path.exists("/tmp/drift_stop"):
+            restart_io.write_restart(
+                CKPT, state, neigh, sim.params,
+                extra={"done": done, "samples": np.asarray(samples)},
+            )
+            print(f"# paused at step {done} (drift_stop)", flush=True)
+            sys.exit(0)
 
     s = np.asarray(samples, float)
     # Secular drift = fitted slope (per step) scaled to 1M steps,

@@ -103,14 +103,14 @@ def main():
             st, shapes, params, pi, pj, msk, ng.pair_hist, dp, rows=rws
         )
 
-    packed, ti, tj, cap, par = pack(state, neigh)
+    packed, tbl, cap, par = pack(state, neigh)
     jax.block_until_ready(packed)
     t_pack = timeit(lambda: pack(state, neigh)[0])
     print(f"pack        {t_pack*1e3:8.2f} ms", flush=True)
 
-    ker = jax.jit(lambda pk, a, b: contact_pallas.pair_contact_pallas(
-        pk, a, b, cap, par, lmax=shapes.lmax, conservative=cons))
-    t_ker = timeit(lambda: ker(packed, ti, tj))
+    ker = jax.jit(lambda pk, tb: contact_pallas.pair_contact_pallas(
+        pk, tb, cap, par, lmax=shapes.lmax, conservative=cons))
+    t_ker = timeit(lambda: ker(packed, tbl))
     print(f"kernel      {t_ker*1e3:8.2f} ms  ({sim.pair_list_cap} pairs)",
           flush=True)
 

@@ -833,23 +833,20 @@ def prefilter_pair_list(state, shapes, params, fields, keep_cap: int,
                       shapes.cap1_cpsi, shapes.cap1_spsi], axis=0)
 
     def probe_rows(args):
-        # One probe block: pack + full-basis f32 r-only depth. Packing
-        # per block bounds the [P, 81]x2 power-table gathers — the
-        # dominant transient at candidate-list scale (3.2 GB at P=5e6
-        # unchunked; the n=1M single-chip OOM).
+        # One probe block: pack + full-basis f32 r-only depth. The
+        # per-pair power-table rows are built IN the probe kernel from
+        # the typ/scl columns (contact_pallas._side_tables), so the
+        # packed [P, _F] rows are the only candidate-scale transient
+        # (1.3 GB at P=5e6; chunking still bounds the n~1M case).
         pi_b, pj_b, msk_b, dp_b = args
         hist_b = jnp.zeros((pi_b.shape[0], hw), dp_b.dtype)
-        packed, _, _, _, _ = contact_pallas.pack_pairs(
+        packed, tbl, _, _ = contact_pallas.pack_pairs(
             state, shapes, params, pi_b, pj_b, msk_b, hist_b, dp_b,
             rows=rows, probe_only=True,
         )
         packed = packed.at[:, tail_lo].set(0.0)
-        ti_ab = shapes.power_tbl[state.shtype[pi_b], :nc_ab] \
-            * state.scale[pi_b][:, None]
-        tj_ab = shapes.power_tbl[state.shtype[pj_b], :nc_ab] \
-            * state.scale[pj_b][:, None]
         return contact_pallas.stage1_depth_pallas(
-            packed, ti_ab, tj_ab, cap1, lmax=shapes.lmax, l1=shapes.lmax,
+            packed, tbl[:, :nc_ab], cap1, lmax=shapes.lmax, l1=shapes.lmax,
             bf16=False,
         )
 
@@ -996,12 +993,12 @@ def contact_force_pairs(state, shapes, params, neigh,
             rows_j[:, _RX] - rows_i[:, _RX],
             state.box_lo, state.box_hi, periodic, tilt,
         )
-        packed, ti, tj, cap, par = contact_pallas.pack_pairs(
+        packed, tbl, cap, par = contact_pallas.pack_pairs(
             state, shapes, params, pi, pj, msk, neigh.pair_hist, dp,
             rows=rows,
         )
         out = contact_pallas.pair_contact_pallas(
-            packed, ti, tj, cap, par, lmax=shapes.lmax,
+            packed, tbl, cap, par, lmax=shapes.lmax,
             conservative=conservative,
         )
         force = out[:, 0:3]

@@ -37,7 +37,7 @@ from spherharm_tpu.core import state as state_mod
 from spherharm_tpu.ops import sh_power
 
 # Packed per-pair input layout [P, F].
-_F = 56  # padded width
+_F = 64  # padded width
 _SLOTS = {
     "xi": (0, 3), "vi": (3, 6), "qi": (6, 10), "omi": (10, 13),
     "mi": (13, 14), "rbi": (14, 15), "rmi": (15, 16), "rci": (16, 17),
@@ -48,6 +48,12 @@ _SLOTS = {
     # Per-type-pair material row (core.state.pair_material): kn, kt,
     # gamma_n, gamma_t, mu, k_roll, gamma_roll, mu_roll.
     "mat": (45, 53),
+    # Shape-type ids (as float) + particle scales: the kernel builds its
+    # per-pair power-table rows IN VMEM from the tiny per-type table via
+    # a one-hot MXU contraction, so the [P, W]x2 table gathers (the
+    # dominant HBM traffic of the per-step pack AND the rebuild-cadence
+    # probe at candidate scale) never materialize.
+    "typ": (53, 55), "scl": (55, 57),
 }
 _NOUT = 24  # force 0:3, tau_i 3:6, tau_j 6:9, springs 9:15, pe 15, contact 16
 _NPAR = 16
@@ -82,6 +88,30 @@ def _cross3(a, b):
         a[2] * b[0] - a[0] * b[2],
         a[0] * b[1] - a[1] * b[0],
     )
+
+
+def _side_tables(pairs, tbl):
+    """Per-pair pre-scaled power-table rows [B, W] from the per-TYPE
+    table ``tbl`` [T, W] (T padded to a sublane multiple by pack_pairs).
+
+    One-hot MXU contraction: onehot[B, T] @ tbl[T, W], then scale by the
+    per-particle scale column. Replaces the [P, W] HBM gathers the pack
+    used to materialize per pair per step (and per candidate per rebuild
+    probe) — the table itself is a few KB and lives in VMEM."""
+    t_lo, _ = _SLOTS["typ"]
+    s_lo, _ = _SLOTS["scl"]
+    T = tbl.shape[0]
+    # Mosaic's tpu.iota only produces integer vectors — build the id row
+    # as int32 and compare against the int-cast typ column.
+    tids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+
+    def one(col_t, col_s):
+        ids = pairs[:, col_t:col_t + 1].astype(jnp.int32)
+        onehot = (ids == tids).astype(tbl.dtype)
+        rows = jnp.dot(onehot, tbl, preferred_element_type=jnp.float32)
+        return rows * pairs[:, col_s:col_s + 1]
+
+    return one(t_lo, s_lo), one(t_lo + 1, s_lo + 1)
 
 
 def _horner(tbl, off: int, n: int, ct):
@@ -473,7 +503,7 @@ def _make_kernel(lmax: int, conservative: bool = False,
     bfloat16 (see _radius_grad_power; experiment knob, drift must be
     re-measured before it defaults on)."""
 
-    def kernel(pairs_ref, ti_ref, tj_ref, cap_ref, par_ref, out_ref):
+    def kernel(pairs_ref, tbl_ref, cap_ref, par_ref, out_ref):
         # BLOCK SKIP: prefilter compaction packs valid pairs to the
         # FRONT of the list, so the padding between n_survivors and the
         # static capacity arrives here as whole blocks of mask=0 rows.
@@ -492,13 +522,12 @@ def _make_kernel(lmax: int, conservative: bool = False,
 
         @pl.when(alive)
         def _():
-            _kernel_body(pairs, ti_ref, tj_ref, cap_ref, par_ref, out_ref)
+            _kernel_body(pairs, tbl_ref, cap_ref, par_ref, out_ref)
 
-    def _kernel_body(pairs, ti_ref, tj_ref, cap_ref, par_ref, out_ref):
-        # Materialize refs as values up front (value slices compile the
-        # same as ref loads). ti/tj: power-table rows [B, W].
-        ti = ti_ref[:, :]
-        tj = tj_ref[:, :]
+    def _kernel_body(pairs, tbl_ref, cap_ref, par_ref, out_ref):
+        # Per-pair pre-scaled power-table rows, built in VMEM from the
+        # per-type table (see _side_tables).
+        ti, tj = _side_tables(pairs, tbl_ref[:, :])
 
         def col(name):
             lo, hi = _SLOTS[name]
@@ -740,7 +769,7 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
     a conservative bound."""
     chain_dt = jnp.bfloat16 if bf16 else jnp.float32
 
-    def kernel(pairs_ref, ti_ref, tj_ref, cap_ref, out_ref):
+    def kernel(pairs_ref, tbl_ref, cap_ref, out_ref):
         # Block skip (see _make_kernel): candidate lists are padded to a
         # static capacity; all-masked blocks write the cull sentinel
         # directly instead of probing 2x128 nodes per row.
@@ -753,16 +782,19 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
 
         @pl.when(blk_alive)
         def _():
-            _stage1_body(pairs_ref, ti_ref, tj_ref, cap_ref, out_ref)
+            _stage1_body(pairs_ref, tbl_ref, cap_ref, out_ref)
 
-    def _stage1_body(pairs_ref, ti_ref, tj_ref, cap_ref, out_ref):
+    def _stage1_body(pairs_ref, tbl_ref, cap_ref, out_ref):
+        pairs = pairs_ref[:, :]
+        ti1, tj1 = _side_tables(pairs, tbl_ref[:, :])
+
         def col(name):
             lo, hi = _SLOTS[name]
-            return pairs_ref[:, lo:hi]
+            return pairs[:, lo:hi]
 
         def vec(name):
             lo, hi = _SLOTS[name]
-            return tuple(pairs_ref[:, c:c + 1] for c in range(lo, hi))
+            return tuple(pairs[:, c:c + 1] for c in range(lo, hi))
 
         cap_x = cap_ref[0:1, :]
         cap_cpsi = cap_ref[2:3, :]
@@ -808,7 +840,7 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
             dirz = cos_g * ez + sc * t1z + ss * t2z
             ct_a, st_a, cp_a, sp_a = _unit_trig(dirx, diry, dirz)
             r_a = _radius_power_ab(
-                c_a[:, :].astype(chain_dt), ct_a.astype(chain_dt),
+                c_a.astype(chain_dt), ct_a.astype(chain_dt),
                 st_a.astype(chain_dt), cp_a.astype(chain_dt),
                 sp_a.astype(chain_dt), l1,
             ).astype(jnp.float32)
@@ -822,16 +854,16 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
                 u[0] * inv_rho, u[1] * inv_rho, u[2] * inv_rho
             )
             r_b = _radius_power_ab(
-                c_b[:, :].astype(chain_dt), ct_b.astype(chain_dt),
+                c_b.astype(chain_dt), ct_b.astype(chain_dt),
                 st_b.astype(chain_dt), cp_b.astype(chain_dt),
                 sp_b.astype(chain_dt), l1,
             ).astype(jnp.float32)
             return jnp.max(r_b - rho, axis=1, keepdims=True)
 
         qi, qj = vec("qi"), vec("qj")
-        m_ij = side(qi, qj, ti_ref, tj_ref, col("rbj"), col("rmi"),
+        m_ij = side(qi, qj, ti1, tj1, col("rbj"), col("rmi"),
                     col("rbi"), d[0], d[1], d[2])
-        m_ji = side(qj, qi, tj_ref, ti_ref, col("rbi"), col("rmj"),
+        m_ji = side(qj, qi, tj1, ti1, col("rbi"), col("rmj"),
                     col("rbj"), -d[0], -d[1], -d[2])
         depth = jnp.maximum(m_ij, m_ji) + col("tail")
         if bf16:
@@ -852,25 +884,24 @@ def _make_stage1_kernel(lmax: int, l1: int, bf16: bool):
 
 @partial(jax.jit,
          static_argnames=("lmax", "l1", "block", "interpret", "bf16"))
-def stage1_depth_pallas(packed, ti1, tj1, cap1, lmax: int, l1: int = 4,
+def stage1_depth_pallas(packed, tbl1, cap1, lmax: int, l1: int = 4,
                         block: int = 256, interpret: bool | None = None,
                         bf16: bool = True):
-    """Stage-1 probe over all pairs. ti1/tj1: l1-truncated power-table
-    rows [P, (l1+1)^2] (pre-scaled); packed must carry the "tail" column
-    (truncation bound). Returns a conservative UPPER BOUND on the max
-    signed depth [P]."""
+    """Stage-1 probe over all pairs. tbl1: [T, (l1+1)^2] l1-truncated
+    per-TYPE power table (per-pair rows built in VMEM from the packed
+    typ/scl columns — no candidate-scale table gathers); packed must
+    carry the "tail" column (truncation bound). Returns a conservative
+    UPPER BOUND on the max signed depth [P]."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     l1 = min(l1, lmax)
     P = packed.shape[0]
-    W1 = ti1.shape[1]
+    T1, W1 = tbl1.shape
     G1 = cap1.shape[1]
     n_blocks = -(-P // block)
     pad = n_blocks * block - P
     if pad:
         packed = jnp.pad(packed, ((0, pad), (0, 0)))
-        ti1 = jnp.pad(ti1, ((0, pad), (0, 0)))
-        tj1 = jnp.pad(tj1, ((0, pad), (0, 0)))
     # The FULL-basis f32 probe (the rebuild-cadence prefilter: l1 = lmax,
     # W1 = 81 at lmax = 8) needs ~23M scoped VMEM at block 256 — past the
     # default 16M cap but well inside the chip's VMEM. Raise the cap for
@@ -889,9 +920,7 @@ def stage1_depth_pallas(packed, ti1, tj1, cap1, lmax: int, l1: int = 4,
         in_specs=[
             pl.BlockSpec((block, _F), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, W1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, W1), lambda i: (i, 0),
+            pl.BlockSpec((T1, W1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, G1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -899,7 +928,7 @@ def stage1_depth_pallas(packed, ti1, tj1, cap1, lmax: int, l1: int = 4,
         out_specs=pl.BlockSpec((block, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(packed, ti1, tj1, cap1)
+    )(packed, tbl1, cap1)
     return out[:P, 0]
 
 
@@ -916,14 +945,15 @@ _STAGE2_BF16 = os.environ.get("SPHERHARM_STAGE2_BF16", "0") == "1"
 
 @partial(jax.jit, static_argnames=("lmax", "block", "interpret",
                                    "conservative", "bf16"))
-def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
+def pair_contact_pallas(packed, tbl, cap, par, lmax: int,
                         block: int | None = None,
                         interpret: bool | None = None,
                         conservative: bool = False,
                         bf16: bool | None = None):
-    """Run the fused kernel. packed: [P, _F]; ti/tj: [P, W] pre-scaled
-    power-table rows (ops/sh_power.py); cap: [4, G]; par: [1, _NPAR].
-    Returns [P, _NOUT].
+    """Run the fused kernel. packed: [P, _F]; tbl: [T, W] per-TYPE
+    power table (ops/sh_power.py; T padded to a sublane multiple by
+    pack_pairs — per-pair rows are built in VMEM, see _side_tables);
+    cap: [4, G]; par: [1, _NPAR]. Returns [P, _NOUT].
 
     interpret=None auto-selects: compiled on TPU, interpreter elsewhere
     (so the full pipeline stays testable on the CPU mesh).
@@ -937,14 +967,12 @@ def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     P = packed.shape[0]
-    W = ti.shape[1]
+    T, W = tbl.shape
     G = cap.shape[1]
     n_blocks = -(-P // block)
     pad = n_blocks * block - P
     if pad:
         packed = jnp.pad(packed, ((0, pad), (0, 0)))
-        ti = jnp.pad(ti, ((0, pad), (0, 0)))
-        tj = jnp.pad(tj, ((0, pad), (0, 0)))
     # The conservative (hand-derived-backward) kernel at block 64 with
     # the power tables sits ~1% past the default 16M scoped-VMEM limit;
     # raise the cap rather than halving the block (v5e has headroom).
@@ -962,9 +990,7 @@ def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
         in_specs=[
             pl.BlockSpec((block, _F), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, W), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, W), lambda i: (i, 0),
+            pl.BlockSpec((T, W), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _NPAR), lambda i: (0, 0),
@@ -973,7 +999,7 @@ def pair_contact_pallas(packed, ti, tj, cap, par, lmax: int,
         out_specs=pl.BlockSpec((block, _NOUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(packed, ti, tj, cap, par)
+    )(packed, tbl, cap, par)
     return out[:P]
 
 
@@ -986,10 +1012,12 @@ def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None,
     one contiguous row-gather + slice — no per-field gathers (the TPU
     gather-count lesson, see ops/contact.py).
 
-    Returns (packed [P, _F], ti, tj, cap, par): ti/tj are the pre-scaled
-    per-side POWER-TABLE rows [P, W] (ops/sh_power.py). The "tail"
-    column carries the scaled stage-1 truncation bound for both sides
-    (the stage-1 probe gathers its own l1-truncated tables).
+    Returns (packed [P, _F], tbl, cap, par): tbl is the per-TYPE power
+    table [T, W] (ops/sh_power.py; T padded to a sublane multiple) —
+    per-pair rows are built IN the kernel from the packed typ/scl
+    columns (_side_tables), so no [P, W] table traffic ever hits HBM.
+    The "tail" column carries the scaled stage-1 truncation bound for
+    both sides.
     """
     from spherharm_tpu.ops import contact as contact_mod
 
@@ -1007,15 +1035,17 @@ def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None,
         mat = jnp.zeros((pi.shape[0], 8), jnp.float32)
     else:
         mat = state_mod.pair_material(params, ti_t, tj_t)
+    typ = jnp.stack([ti_t, tj_t], axis=1).astype(jnp.float32)
+    scl = jnp.stack([si, sj], axis=1).astype(jnp.float32)
     packed = jnp.concatenate(
         [ri, rj, hist.astype(jnp.float32),
          mask.astype(jnp.float32)[:, None], d.astype(jnp.float32),
-         tail.astype(jnp.float32)[:, None], mat.astype(jnp.float32)],
+         tail.astype(jnp.float32)[:, None], mat.astype(jnp.float32),
+         typ, scl],
         axis=1,
     )
     packed = jnp.pad(packed, ((0, 0), (0, _F - packed.shape[1])))
-    ti = shapes.power_tbl[ti_t] * si[:, None]
-    tj = shapes.power_tbl[tj_t] * sj[:, None]
+    tbl = pad_type_table(shapes.power_tbl)
     cap = jnp.stack([shapes.cap_x, shapes.cap_glw, shapes.cap_cpsi,
                      shapes.cap_spsi], axis=0)
     z = jnp.zeros_like(params.dt)
@@ -1024,4 +1054,15 @@ def pack_pairs(state, shapes, params, pi, pj, mask, hist, d, rows=None,
         params.mu, params.k_roll, params.gamma_roll, params.mu_roll,
         z, z, z, z, z, z, z,
     ])[None, :].astype(jnp.float32)
-    return packed, ti, tj, cap, par
+    return packed, tbl, cap, par
+
+
+def pad_type_table(tbl):
+    """Pad the per-type power table [T, W] to a sublane multiple of 8
+    so it tiles cleanly as a VMEM-resident kernel operand. Padding rows
+    are all-zero and unreachable (type ids < T)."""
+    T = tbl.shape[0]
+    T8 = -(-T // 8) * 8
+    if T8 != T:
+        tbl = jnp.pad(tbl, ((0, T8 - T), (0, 0)))
+    return tbl

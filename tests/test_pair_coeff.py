@@ -139,11 +139,11 @@ def test_pallas_per_pair_parity():
         state.x[pj] - state.x[pi], state.box_lo, state.box_hi,
         (False, False, False),
     )
-    packed, ci, cj, cap, par = contact_pallas.pack_pairs(
+    packed, tbl, cap, par = contact_pallas.pack_pairs(
         state, shapes, params, pi, pj, mask, hist, d
     )
     out = contact_pallas.pair_contact_pallas(
-        packed, ci, cj, cap, par, lmax=shapes.lmax, block=64,
+        packed, tbl, cap, par, lmax=shapes.lmax, block=64,
         interpret=True,
     )
     f = np.asarray(out[:, 0:3])

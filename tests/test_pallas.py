@@ -63,11 +63,11 @@ def test_pallas_kernel_matches_reference():
         exact=True, periodic=(False, False, False),
     )
     # pallas kernel (interpret mode on CPU)
-    packed, ci, cj, cap, par = contact_pallas.pack_pairs(
+    packed, tbl, cap, par = contact_pallas.pack_pairs(
         state, shapes, params, pi, pj, mask, hist, d
     )
     out = contact_pallas.pair_contact_pallas(
-        packed, ci, cj, cap, par, lmax=shapes.lmax, block=64, interpret=True
+        packed, tbl, cap, par, lmax=shapes.lmax, block=64, interpret=True
     )
     f = np.asarray(out[:, 0:3])
     tau = np.asarray(out[:, 3:6])
@@ -107,11 +107,11 @@ def test_pallas_conservative_matches_reference():
         state.x[pj] - state.x[pi], state.box_lo, state.box_hi,
         (False, False, False),
     )
-    packed, ci, cj, cap, par = contact_pallas.pack_pairs(
+    packed, tbl, cap, par = contact_pallas.pack_pairs(
         state, shapes, params, pi, pj, mask, hist, d
     )
     out = contact_pallas.pair_contact_pallas(
-        packed, ci, cj, cap, par, lmax=shapes.lmax, block=64,
+        packed, tbl, cap, par, lmax=shapes.lmax, block=64,
         interpret=True, conservative=True,
     )
     f = np.asarray(out[:, 0:3])
@@ -142,13 +142,13 @@ def test_pallas_bf16_stage2_close_to_f32():
         state.x[pj] - state.x[pi], state.box_lo, state.box_hi,
         (False, False, False),
     )
-    packed, ci, cj, cap, par = contact_pallas.pack_pairs(
+    packed, tbl, cap, par = contact_pallas.pack_pairs(
         state, shapes, params, pi, pj, mask, hist, d
     )
     outs = {}
     for bf16 in (False, True):
         outs[bf16] = np.asarray(contact_pallas.pair_contact_pallas(
-            packed, ci, cj, cap, par, lmax=shapes.lmax, block=64,
+            packed, tbl, cap, par, lmax=shapes.lmax, block=64,
             interpret=True, conservative=True, bf16=bf16,
         ))
     f32, bf = outs[False], outs[True]
