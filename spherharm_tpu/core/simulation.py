@@ -268,24 +268,13 @@ class Simulation:
         setup() runs the force computation before stepping, and the
         sharded init does the same (states prepared with deep initial
         overlaps diverge between the two paths otherwise).
+
+        The whole setup pass runs under ONE jit (``_init_jit``): eager
+        execution compiled ~300 separate one-op XLA programs (65 s on
+        CPU, 200+ s through the axon relay) — the dominant share of the
+        round-4 "724 s cold setup" tax.
         """
-        neigh = empty_neighbors(
-            state.cap, self.k_max, len(self.walls), dtype=state.x.dtype,
-            pair_cap=self.pair_list_cap,
-        )
-        state, neigh = self._rebuild(state, neigh)
-        # The setup pass must not advance friction-spring history: the
-        # first real step integrates the same configuration again, so
-        # letting compute_forces tick the springs here would give
-        # pre-contacting pairs a double dt of tangential displacement at
-        # t0 (the reference's setup() suppresses the shear-history
-        # update for the same reason). Keep f/tau, restore the history.
-        hists0 = (neigh.hist, neigh.pair_hist, neigh.wall_hist)
-        state, neigh, _ = self.compute_forces(state, neigh)
-        neigh = neigh.replace(
-            hist=hists0[0], pair_hist=hists0[1], wall_hist=hists0[2]
-        )
-        return state, neigh
+        return _init_jit(self, state)
 
     def _maybe_rebuild(self, state: State, neigh: NeighborState):
         if self.neighbor_mode == "static":
@@ -496,6 +485,27 @@ def _run_cadence_jit(sim: Simulation, state: State, neigh: NeighborState,
 
     (state, neigh), _ = jax.lax.scan(
         block, (state, neigh), None, length=n_blocks
+    )
+    return state, neigh
+
+
+@partial(jax.jit, static_argnames=("sim",))
+def _init_jit(sim: Simulation, state: State):
+    neigh = empty_neighbors(
+        state.cap, sim.k_max, len(sim.walls), dtype=state.x.dtype,
+        pair_cap=sim.pair_list_cap,
+    )
+    state, neigh = sim._rebuild(state, neigh)
+    # The setup pass must not advance friction-spring history: the
+    # first real step integrates the same configuration again, so
+    # letting compute_forces tick the springs here would give
+    # pre-contacting pairs a double dt of tangential displacement at
+    # t0 (the reference's setup() suppresses the shear-history
+    # update for the same reason). Keep f/tau, restore the history.
+    hists0 = (neigh.hist, neigh.pair_hist, neigh.wall_hist)
+    state, neigh, _ = sim.compute_forces(state, neigh)
+    neigh = neigh.replace(
+        hist=hists0[0], pair_hist=hists0[1], wall_hist=hists0[2]
     )
     return state, neigh
 
